@@ -1,0 +1,117 @@
+"""Public render() — the framework's equivalent of the reference renderer
+wrapper (/root/reference/gaussian_renderer/__init__.py:18-100).
+
+Functional contract (returned dict keys match the reference):
+  render            (3, H, W) float32
+  viewspace_points  the caller-supplied screen-space tap array; differentiate
+                    the loss w.r.t. it to obtain the densification gradient
+                    (the JAX analogue of `screenspace_points.grad`)
+  visibility_filter (N,) bool, radii > 0
+  radii             (N,) int32
+
+Screen-space gradient units match the CUDA backward: dL/dmean2D is the
+gradient w.r.t. the NDC-space center (pixel-space gradient x 0.5*size), so
+the reference's densify_grad_threshold=0.0002 transfers unchanged. The tap
+is injected as `pixel_center += tap * [0.5*W, 0.5*H]`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from sgs_tpu.core import sh as sh_lib
+from sgs_tpu.core import transforms
+from sgs_tpu.core.camera import Camera
+from sgs_tpu.core.projection import project_gaussians
+from sgs_tpu.render import reference
+
+
+@struct.dataclass
+class GaussianInputs:
+    """Activated per-Gaussian attributes handed to the rasterizer — the same
+    alternatives the CUDA rasterizer accepts: exactly one of
+    {scales+rotations, cov3d_precomp} and one of {shs, colors_precomp}."""
+
+    means3d: jnp.ndarray  # (N, 3)
+    opacities: jnp.ndarray  # (N, 1) activated (sigmoid applied)
+    scales: Optional[jnp.ndarray] = None  # (N, 3) activated (exp applied)
+    rotations: Optional[jnp.ndarray] = None  # (N, 4) unit-normalized wxyz
+    cov3d_precomp: Optional[jnp.ndarray] = None  # (N, 6)
+    shs: Optional[jnp.ndarray] = None  # (N, K, 3)
+    colors_precomp: Optional[jnp.ndarray] = None  # (N, 3)
+    sh_degree: int = struct.field(pytree_node=False, default=0)
+    alive: Optional[jnp.ndarray] = None  # (N,) bool mask for padded pools
+
+
+def render(
+    camera: Camera,
+    gaussians: GaussianInputs,
+    bg_color: jnp.ndarray,
+    scaling_modifier: float = 1.0,
+    vspace_tap: Optional[jnp.ndarray] = None,
+    chunk_size: int = 256,
+    pixel_block: int = 16384,
+) -> dict:
+    g = gaussians
+    n = g.means3d.shape[0]
+
+    if g.cov3d_precomp is not None:
+        cov3d = g.cov3d_precomp
+    else:
+        cov3d = transforms.build_covariance(g.scales, g.rotations, scaling_modifier)
+
+    proj = project_gaussians(
+        g.means3d,
+        cov3d,
+        camera.world_view_transform,
+        camera.full_proj_transform,
+        camera.tanfovx,
+        camera.tanfovy,
+        camera.image_width,
+        camera.image_height,
+    )
+
+    if g.colors_precomp is not None:
+        rgb = g.colors_precomp
+    else:
+        dirs = g.means3d - camera.camera_center[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        rgb = sh_lib.sh_to_rgb_clamped(g.sh_degree, g.shs, dirs)
+
+    mean2d = proj["mean2d"]
+    if vspace_tap is None:
+        vspace_tap = jnp.zeros((n, 3), dtype=jnp.float32)
+    half_size = jnp.array(
+        [0.5 * camera.image_width, 0.5 * camera.image_height], dtype=jnp.float32
+    )
+    mean2d = mean2d + vspace_tap[:, :2] * half_size[None, :]
+
+    valid = proj["radius"] > 0
+    if g.alive is not None:
+        valid = valid & g.alive
+
+    image = reference.rasterize_sorted(
+        mean2d,
+        proj["depth"],
+        proj["conic"],
+        rgb,
+        g.opacities[..., 0],
+        valid,
+        bg_color,
+        camera.image_width,
+        camera.image_height,
+        chunk_size=chunk_size,
+        pixel_block=pixel_block,
+    )
+    radii = jnp.where(
+        valid, proj["radius"], jnp.zeros_like(proj["radius"])
+    )
+    return {
+        "render": image,
+        "viewspace_points": vspace_tap,
+        "visibility_filter": radii > 0,
+        "radii": radii,
+    }
