@@ -2,8 +2,9 @@
 
 Replaces the reference's torch `Camera`/`MiniCam` classes
 (/root/reference/scene/cameras.py:17-70) with a flax.struct dataclass:
-matrix/image fields are pytree leaves (traced), while image dimensions are
-static aux data so XLA shapes stay fixed per-resolution.
+matrices and FoV tangents are pytree leaves (traced — so cameras with
+different intrinsics share one compiled executable), while image dimensions
+are static aux data so XLA shapes stay fixed per-resolution.
 
 Matrices follow the reference's transposed (row-vector) convention:
 `world_view_transform` and `full_proj_transform` are applied as
@@ -28,21 +29,11 @@ class Camera:
     world_view_transform: jnp.ndarray  # (4, 4) transposed world->view
     full_proj_transform: jnp.ndarray   # (4, 4) transposed world->clip
     camera_center: jnp.ndarray         # (3,)
+    tanfovx: jnp.ndarray               # scalar
+    tanfovy: jnp.ndarray               # scalar
     # --- static metadata ---
     image_width: int = struct.field(pytree_node=False)
     image_height: int = struct.field(pytree_node=False)
-    fovx: float = struct.field(pytree_node=False)
-    fovy: float = struct.field(pytree_node=False)
-    znear: float = struct.field(pytree_node=False, default=0.01)
-    zfar: float = struct.field(pytree_node=False, default=100.0)
-
-    @property
-    def tanfovx(self) -> float:
-        return math.tan(self.fovx * 0.5)
-
-    @property
-    def tanfovy(self) -> float:
-        return math.tan(self.fovy * 0.5)
 
     @classmethod
     def from_Rt(
@@ -68,12 +59,10 @@ class Camera:
             world_view_transform=jnp.asarray(view_T, dtype=jnp.float32),
             full_proj_transform=jnp.asarray(full_T, dtype=jnp.float32),
             camera_center=jnp.asarray(center, dtype=jnp.float32),
+            tanfovx=jnp.float32(math.tan(fovx * 0.5)),
+            tanfovy=jnp.float32(math.tan(fovy * 0.5)),
             image_width=int(width),
             image_height=int(height),
-            fovx=float(fovx),
-            fovy=float(fovy),
-            znear=float(znear),
-            zfar=float(zfar),
         )
 
     @classmethod
@@ -85,8 +74,6 @@ class Camera:
         fovy: float,
         width: int,
         height: int,
-        znear: float = 0.01,
-        zfar: float = 100.0,
     ) -> "Camera":
         """MiniCam equivalent — pose-only camera from pre-built (transposed)
         matrices, as received from the network GUI protocol."""
@@ -96,10 +83,8 @@ class Camera:
             world_view_transform=jnp.asarray(view_T),
             full_proj_transform=jnp.asarray(full_proj_transform, dtype=jnp.float32),
             camera_center=jnp.asarray(center, dtype=jnp.float32),
+            tanfovx=jnp.float32(math.tan(fovx * 0.5)),
+            tanfovy=jnp.float32(math.tan(fovy * 0.5)),
             image_width=int(width),
             image_height=int(height),
-            fovx=float(fovx),
-            fovy=float(fovy),
-            znear=float(znear),
-            zfar=float(zfar),
         )

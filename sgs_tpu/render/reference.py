@@ -83,7 +83,11 @@ def _composite_pixel_block(
         jnp.ones((P,), pix_xy.dtype),
         jnp.zeros((P,), bool),
     )
-    (C, T, _), _ = jax.lax.scan(step, init, chunks)
+    # Rematerialize in the backward pass: without this, autodiff stores the
+    # (P, G) alpha/weight intermediates of EVERY chunk (O(P*N) memory — OOM
+    # at real sizes); with it only the small per-chunk carry is kept and the
+    # chunk math is recomputed, mirroring the CUDA backward's re-walk.
+    (C, T, _), _ = jax.lax.scan(jax.checkpoint(step), init, chunks)
     return C + T[:, None] * bg[None, :]
 
 

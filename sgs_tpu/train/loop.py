@@ -1,0 +1,100 @@
+"""Jitted train step + host-side training orchestration.
+
+The per-iteration compute (/root/reference/train.py:79-142) becomes one
+jitted `train_step`: render -> (1-l)L1 + l(1-SSIM) -> grads (params and the
+screen-space tap) -> masked per-field Adam -> densification-stat update.
+The periodic host steps (SH escalation, densify/prune, opacity reset,
+saving, eval) stay outside jit, mirroring the reference's no_grad block.
+
+Recompilation boundaries (by design): pool capacity, image resolution,
+active SH degree (4 values over a run).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sgs_tpu.core.camera import Camera
+from sgs_tpu.models.gaussians import DensifyStats, GaussianPool
+from sgs_tpu.ops.ssim import l1_loss, ssim
+from sgs_tpu.render.pipeline import render
+from sgs_tpu.train.optim import AdamState, adam_update
+
+
+@struct.dataclass
+class TrainState:
+    pool: GaussianPool
+    adam: AdamState
+    stats: DensifyStats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "lambda_dssim", "freeze_xyz", "apply_update"),
+    donate_argnums=(0,),
+)
+def train_step(
+    state: TrainState,
+    camera: Camera,
+    gt_image: jnp.ndarray,  # (3, H, W)
+    bg_color: jnp.ndarray,  # (3,)
+    lrs: dict,  # per-field scalar arrays (traced, so LR schedule != recompile)
+    active_sh_degree: int,
+    lambda_dssim: float = 0.2,
+    freeze_xyz: bool = False,
+    apply_update: bool = True,
+) -> Tuple[TrainState, dict]:
+    pool, adam, stats = state.pool, state.adam, state.stats
+    n = pool.capacity
+    tap0 = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_fn(params, tap):
+        p = pool.with_params(params)
+        out = render(
+            camera, p.render_inputs(active_sh_degree), bg_color, vspace_tap=tap
+        )
+        image = out["render"]
+        ll1 = l1_loss(image, gt_image)
+        loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt_image))
+        return loss, (ll1, out["radii"], out["visibility_filter"])
+
+    (loss, (ll1, radii, visibility)), (param_grads, tap_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(pool.params(), tap0)
+
+    if freeze_xyz:
+        param_grads = {**param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])}
+
+    new_stats = stats.update(tap_grad, radii, visibility)
+
+    if apply_update:
+        new_params, new_adam = adam_update(
+            pool.params(), param_grads, adam, lrs, update_mask=pool.alive
+        )
+        new_pool = pool.with_params(new_params)
+    else:
+        new_pool, new_adam = pool, adam
+
+    metrics = {
+        "loss": loss,
+        "l1": ll1,
+        "n_visible": jnp.sum(visibility),
+    }
+    return TrainState(pool=new_pool, adam=new_adam, stats=new_stats), metrics
+
+
+@partial(jax.jit, static_argnames=("active_sh_degree",))
+def eval_render(
+    pool: GaussianPool,
+    camera: Camera,
+    bg_color: jnp.ndarray,
+    active_sh_degree: int,
+) -> jnp.ndarray:
+    """Clamped render for evaluation (training_report, train.py:191)."""
+    out = render(camera, pool.render_inputs(active_sh_degree), bg_color)
+    return jnp.clip(out["render"], 0.0, 1.0)

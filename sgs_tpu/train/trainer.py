@@ -1,0 +1,273 @@
+"""Training orchestration — the framework's train.py body.
+
+Mirrors the reference loop structure (/root/reference/train.py:31-146):
+per-iteration jitted train_step; host-side periodic work (SH escalation
+every 1000 iters, densify/prune in [densify_from_iter, densify_until_iter]
+every densification_interval with size_threshold=20 after the first opacity
+reset, opacity reset every opacity_reset_interval plus the white-background
+kick at densify_from_iter, PLY saves, .npz checkpoints, losses.tsv rows,
+EMA-loss progress bar). The optimizer step is skipped on the final
+iteration exactly like the reference (train.py:140-142).
+
+TPU-specific addition: pool capacity management — when free slots drop
+under a threshold the pool/optimizer/stats arrays are regrown host-side
+(one recompile per growth, ~log2 growths per run).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgs_tpu.models.densify import densify_and_prune, reset_opacity
+from sgs_tpu.models.gaussians import DensifyStats, GaussianPool, PARAM_FIELDS
+from sgs_tpu.ops.ssim import l1_loss, psnr
+from sgs_tpu.train import checkpoint as ckpt
+from sgs_tpu.train.loop import TrainState, eval_render, train_step
+from sgs_tpu.train.optim import AdamState, make_lr_dict
+from sgs_tpu.utils.config import (
+    ModelParams,
+    OptimizationParams,
+    PipelineParams,
+    save_cfg_args,
+)
+
+GROW_FREE_FRACTION = 0.2  # regrow when free slots < 20% of capacity
+GROW_FACTOR = 2.0
+
+
+@dataclass
+class TrainHooks:
+    """Optional callbacks for GUI serving / custom logging."""
+
+    pre_iteration: Optional[callable] = None  # (iteration, pool) -> None
+    post_report: Optional[callable] = None
+
+
+def grow_state(state: TrainState, new_capacity: int) -> TrainState:
+    pool = state.pool.grown(new_capacity)
+    extra = new_capacity - state.pool.capacity
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)], axis=0
+    )
+    adam = AdamState(
+        mu={f: pad(state.adam.mu[f]) for f in PARAM_FIELDS},
+        nu={f: pad(state.adam.nu[f]) for f in PARAM_FIELDS},
+        step=state.adam.step,
+    )
+    stats = DensifyStats(
+        xyz_gradient_accum=pad(state.stats.xyz_gradient_accum),
+        denom=pad(state.stats.denom),
+        max_radii2d=pad(state.stats.max_radii2d),
+    )
+    return TrainState(pool=pool, adam=adam, stats=stats)
+
+
+def training(
+    dataset: ModelParams,
+    opt: OptimizationParams,
+    pipe: PipelineParams,
+    testing_iterations: List[int],
+    saving_iterations: List[int],
+    checkpoint_iterations: List[int],
+    checkpoint_path: Optional[str] = None,
+    scene=None,
+    seed: int = 0,
+    log_every: int = 10,
+) -> TrainState:
+    from sgs_tpu.data.scene import Scene
+
+    if scene is None:
+        scene = Scene(dataset)
+    model_path = dataset.model_path
+    os.makedirs(model_path, exist_ok=True)
+    save_cfg_args(model_path, dataset)
+    tsv = open(os.path.join(model_path, "losses.tsv"), "w")
+    tsv.write("iteration\ttest_l1\ttest_psnr\tnum_gaussians\n")
+
+    pool = scene.pool
+    adam = AdamState.init(pool.params())
+    stats = DensifyStats.zeros(pool.capacity)
+    state = TrainState(pool=pool, adam=adam, stats=stats)
+    spatial_lr_scale = scene.cameras_extent
+    active_sh_degree = 0
+    first_iter = 0
+
+    if checkpoint_path:
+        state, first_iter, active_sh_degree, spatial_lr_scale = ckpt.load_checkpoint(
+            checkpoint_path
+        )
+        print(f"Restored checkpoint at iteration {first_iter}")
+
+    bg_color = jnp.asarray(
+        [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0], jnp.float32
+    )
+    rng = jax.random.PRNGKey(seed)
+    py_rng = random.Random(seed)
+
+    viewpoint_stack: list = []
+    ema_loss = 0.0
+    train_cams = scene.getTrainCameras()
+    print(f"# train cameras {len(train_cams)}")
+    print(f"# test cameras {len(scene.getTestCameras())}")
+
+    use_tqdm = not pipe.no_tqdm
+    progress = None
+    if use_tqdm:
+        try:
+            from tqdm import tqdm
+
+            progress = tqdm(
+                range(first_iter, opt.iterations), desc="Training progress"
+            )
+        except ImportError:
+            progress = None
+
+    t_start = time.time()
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if iteration % 1000 == 0 and active_sh_degree < dataset.sh_degree:
+            active_sh_degree += 1
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(train_cams)
+        cam = viewpoint_stack.pop(py_rng.randint(0, len(viewpoint_stack) - 1))
+
+        if opt.random_background:
+            rng, sub = jax.random.split(rng)
+            bg = jax.random.uniform(sub, (3,), jnp.float32)
+        else:
+            bg = bg_color
+
+        lrs = {
+            k: jnp.float32(v)
+            for k, v in make_lr_dict(opt, spatial_lr_scale, iteration).items()
+        }
+        state, metrics = train_step(
+            state,
+            cam.camera,
+            jnp.asarray(cam.gt_image),
+            bg,
+            lrs,
+            active_sh_degree=active_sh_degree,
+            lambda_dssim=opt.lambda_dssim,
+            freeze_xyz=dataset.freeze_xyz,
+            apply_update=iteration < opt.iterations,
+        )
+
+        loss_val = float(metrics["loss"])
+        ema_loss = 0.4 * loss_val + 0.6 * ema_loss
+        if progress is not None and iteration % log_every == 0:
+            progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
+            progress.update(log_every)
+
+        # ------------------------------------------------ periodic host work
+        if iteration in testing_iterations:
+            training_report(
+                tsv, iteration, scene, state.pool, active_sh_degree, bg_color
+            )
+
+        if iteration in saving_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(state.pool, iteration)
+
+        if iteration < opt.densify_until_iter:
+            if (
+                iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            ):
+                free = state.pool.capacity - int(state.pool.num_alive)
+                if free < GROW_FREE_FRACTION * state.pool.capacity:
+                    new_cap = int(
+                        -(-state.pool.capacity * GROW_FACTOR // 256) * 256
+                    )
+                    print(
+                        f"\n[ITER {iteration}] Growing pool "
+                        f"{state.pool.capacity} -> {new_cap}"
+                    )
+                    state = grow_state(state, new_cap)
+                size_threshold = (
+                    20.0 if iteration > opt.opacity_reset_interval else 0.0
+                )
+                rng, sub = jax.random.split(rng)
+                new_pool, new_adam, new_stats, info = densify_and_prune(
+                    state.pool, state.adam, state.stats, sub,
+                    max_grad=opt.densify_grad_threshold,
+                    min_opacity=0.005,
+                    extent=scene.cameras_extent,
+                    max_screen_size=size_threshold,
+                    percent_dense=opt.percent_dense,
+                )
+                state = TrainState(pool=new_pool, adam=new_adam, stats=new_stats)
+                dropped = int(info["n_dropped_overflow"])
+                if dropped:
+                    print(f"\n[ITER {iteration}] WARNING: dropped {dropped} "
+                          "densified Gaussians (pool full)")
+
+            if iteration % opt.opacity_reset_interval == 0 or (
+                dataset.white_background and iteration == opt.densify_from_iter
+            ):
+                new_pool, new_adam = reset_opacity(state.pool, state.adam)
+                state = TrainState(
+                    pool=new_pool, adam=new_adam, stats=state.stats
+                )
+
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            ckpt.save_checkpoint(
+                os.path.join(model_path, f"chkpnt{iteration}.npz"),
+                state, iteration, active_sh_degree, spatial_lr_scale,
+            )
+
+    if progress is not None:
+        progress.close()
+    tsv.close()
+    elapsed = time.time() - t_start
+    iters = opt.iterations - first_iter
+    if iters > 0:
+        print(f"\nTrained {iters} iterations in {elapsed:.1f}s "
+              f"({iters / elapsed:.2f} it/s)")
+    return state
+
+
+def training_report(
+    tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color
+) -> None:
+    """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row."""
+    train_cams = scene.getTrainCameras()
+    configs = (
+        {"name": "test", "cameras": scene.getTestCameras()},
+        {
+            "name": "train",
+            "cameras": [train_cams[i % len(train_cams)] for i in range(5, 30)]
+            if train_cams
+            else [],
+        },
+    )
+    n_gaussians = int(pool.num_alive)
+    for config in configs:
+        cams = config["cameras"]
+        if not cams:
+            continue
+        l1_sum, psnr_sum = 0.0, 0.0
+        for cam in cams:
+            image = eval_render(pool, cam.camera, bg_color, active_sh_degree)
+            gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
+            l1_sum += float(l1_loss(image, gt))
+            psnr_sum += float(psnr(image, gt))
+        l1_avg = l1_sum / len(cams)
+        psnr_avg = psnr_sum / len(cams)
+        print(
+            f"\n[ITER {iteration}] Evaluating {config['name']}: "
+            f"L1 {l1_avg} PSNR {psnr_avg}"
+        )
+        print(f"# of Gaussians: {n_gaussians}")
+        if config["name"] == "test" and tsv is not None:
+            tsv.write(f"{iteration}\t{l1_avg}\t{psnr_avg}\t{n_gaussians}\n")
+            tsv.flush()

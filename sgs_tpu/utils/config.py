@@ -1,0 +1,152 @@
+"""Typed config system mirroring the reference's ParamGroup flags.
+
+Field names, defaults and one-letter shorthands match
+/root/reference/arguments/__init__.py:47-95 so existing command lines
+transfer. Implemented as dataclasses introspected into argparse (the
+idiomatic replacement for the reference's attribute-scraping ParamGroup),
+plus the cfg_args persist/merge round trip used by render-time tools
+(get_combined_args, arguments/__init__.py:97-117).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser, Namespace
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+@dataclass
+class ModelParams:
+    sh_degree: int = 3
+    source_path: str = ""  # shorthand -s
+    model_path: str = ""  # shorthand -m
+    images: str = "images"  # shorthand -i
+    resolution: int = -1  # shorthand -r
+    white_background: bool = False  # shorthand -w
+    decimate_factor: float = 1.0
+    mesh_max_faces: int = 16_000
+    obj_path: str = ""
+    data_device: str = "tpu"  # accepted for CLI compat; placement is XLA's
+    eval: bool = True
+    freeze_xyz: bool = False
+
+    _shorthands = {
+        "source_path": "-s",
+        "model_path": "-m",
+        "images": "-i",
+        "resolution": "-r",
+        "white_background": "-w",
+    }
+
+
+@dataclass
+class PipelineParams:
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    no_tqdm: bool = False
+    debug: bool = False
+
+    _shorthands: dict = field(default_factory=dict)
+
+
+@dataclass
+class OptimizationParams:
+    iterations: int = 90_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    random_background: bool = False
+
+    _shorthands: dict = field(default_factory=dict)
+
+
+def add_dataclass_args(parser: ArgumentParser, cls, prefix_group: str) -> None:
+    group = parser.add_argument_group(prefix_group)
+    shorthands = getattr(cls, "_shorthands", {}) or {}
+    if not isinstance(shorthands, dict):
+        shorthands = {}
+    for f in fields(cls):
+        if f.name.startswith("_"):
+            continue
+        flag = "--" + f.name
+        names = [flag]
+        if f.name in shorthands:
+            names.append(shorthands[f.name])
+        default = f.default
+        if f.type in (bool, "bool"):
+            group.add_argument(*names, default=default, action="store_true")
+        else:
+            t = {"int": int, "float": float, "str": str}.get(f.type, f.type)
+            if isinstance(t, str):
+                t = str
+            group.add_argument(*names, default=default, type=t)
+
+
+def extract_dataclass(cls, args: Namespace):
+    kwargs = {
+        f.name: getattr(args, f.name)
+        for f in fields(cls)
+        if not f.name.startswith("_") and hasattr(args, f.name)
+    }
+    obj = cls(**kwargs)
+    if isinstance(obj, ModelParams) and obj.source_path:
+        obj.source_path = os.path.abspath(obj.source_path)
+    return obj
+
+
+def save_cfg_args(model_path: str, model_params: ModelParams) -> None:
+    """Persist the Namespace literal the reference writes (train.py:160-164)
+    so render/metrics tools can merge it back."""
+    os.makedirs(model_path, exist_ok=True)
+    ns = Namespace(
+        **{
+            f.name: getattr(model_params, f.name)
+            for f in fields(ModelParams)
+            if not f.name.startswith("_")
+        }
+    )
+    with open(os.path.join(model_path, "cfg_args"), "w") as f:
+        f.write(str(ns))
+
+
+def get_combined_args(parser: ArgumentParser, argv=None) -> Namespace:
+    """CLI over persisted cfg_args (arguments/__init__.py:97-117), without
+    the reference's eval() of the config file."""
+    args_cmdline = parser.parse_args(argv)
+    merged = {}
+    cfgfile = os.path.join(args_cmdline.model_path or "", "cfg_args")
+    if args_cmdline.model_path and os.path.exists(cfgfile):
+        with open(cfgfile) as f:
+            text = f.read().strip()
+        merged.update(_parse_namespace_literal(text))
+    for k, v in vars(args_cmdline).items():
+        if v is not None:
+            merged[k] = v
+    return Namespace(**merged)
+
+
+def _parse_namespace_literal(text: str) -> dict:
+    """Parse \"Namespace(a=1, b='x')\" without eval."""
+    import ast
+
+    if not text.startswith("Namespace(") or not text.endswith(")"):
+        return {}
+    inner = text[len("Namespace(") : -1]
+    try:
+        call = ast.parse(f"f({inner})", mode="eval").body
+        return {kw.arg: ast.literal_eval(kw.value) for kw in call.keywords}
+    except (SyntaxError, ValueError):
+        return {}

@@ -40,6 +40,7 @@ def test_center_point_projects_to_image_center():
 def test_offcenter_pinhole_relation():
     """pixel offset from center = focal * x/z (within float tolerance)."""
     cam = make_camera()
+    fovx = math.radians(60)
     x, z = 0.7, 4.0
     pts = jnp.asarray([[x, 0.0, z]], jnp.float32)
     out = projection.project_gaussians(
@@ -47,7 +48,7 @@ def test_offcenter_pinhole_relation():
         cam.full_proj_transform, cam.tanfovx, cam.tanfovy,
         cam.image_width, cam.image_height,
     )
-    focal_x = projection.fov2focal(cam.fovx, cam.image_width)
+    focal_x = projection.fov2focal(fovx, cam.image_width)
     expected_px = (64 - 1) / 2 + focal_x * x / z
     np.testing.assert_allclose(float(out["mean2d"][0, 0]), expected_px, rtol=1e-4)
 
@@ -78,7 +79,8 @@ def test_far_offscreen_point_has_zero_radius():
 
 def test_ewa_isotropic_cov2d_and_radius():
     """On-axis isotropic Gaussian: cov2d ~= (focal*s/z)^2 I + 0.3 I."""
-    cam = make_camera(width=128, height=128, fovx=math.radians(50))
+    fovx = math.radians(50)
+    cam = make_camera(width=128, height=128, fovx=fovx)
     s, z = 0.2, 6.0
     pts = jnp.asarray([[0.0, 0.0, z]], jnp.float32)
     out = projection.project_gaussians(
@@ -86,7 +88,7 @@ def test_ewa_isotropic_cov2d_and_radius():
         cam.full_proj_transform, cam.tanfovx, cam.tanfovy,
         cam.image_width, cam.image_height,
     )
-    focal = projection.fov2focal(cam.fovx, cam.image_width)
+    focal = projection.fov2focal(fovx, cam.image_width)
     expected_var = (focal * s / z) ** 2 + 0.3
     c = np.asarray(out["cov2d"][0])
     np.testing.assert_allclose(c[0], expected_var, rtol=1e-3)

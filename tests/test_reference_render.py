@@ -77,7 +77,7 @@ def test_single_gaussian_analytic():
     analytically bg*(1-alpha) + alpha*color."""
     cam = make_camera(width=33, height=33)
     s, z, op = 0.1, 4.0, 0.8
-    focal = projection.fov2focal(cam.fovx, 33)
+    focal = projection.fov2focal(math.radians(60), 33)
     means = np.array([[0.0, 0.0, z]], np.float32)
     scales = np.full((1, 3), s, np.float32)
     quats = np.array([[1, 0, 0, 0]], np.float32)
