@@ -1,0 +1,51 @@
+"""Device mesh construction for multi-chip / multi-host training.
+
+The reference is single-GPU (SURVEY.md §2 parallelism checklist: no
+torch.distributed anywhere); every distributed capability here is new
+TPU-native design: meshes over ICI (+DCN for multi-host via
+create_hybrid_device_mesh), shard_map-partitioned train steps, psum
+gradient reduction.
+
+Axis conventions:
+  "data"  — camera/pixel-level data parallelism (batch of views per step)
+  "gauss" — Gaussian-primitive sharding (preprocess/KNN fan-out)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    axis_sizes: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(axis_sizes))
+    if n > len(devices):
+        raise ValueError(f"mesh wants {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(axis_sizes)
+    return Mesh(arr, axis_names)
+
+
+def make_hybrid_mesh(
+    ici_per_host: int, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """Multi-host mesh: DCN axis outer, ICI axis inner, so collectives on
+    the trailing axes ride ICI (scaling-book recipe)."""
+    from jax.experimental.mesh_utils import create_hybrid_device_mesh
+
+    n_hosts = jax.process_count()
+    mesh_shape = (n_hosts, ici_per_host)
+    dev = create_hybrid_device_mesh(
+        mesh_shape=(ici_per_host,),
+        dcn_mesh_shape=(n_hosts,),
+    )
+    return Mesh(dev.reshape(-1), axis_names)

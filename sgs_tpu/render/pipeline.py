@@ -54,7 +54,12 @@ def render(
     vspace_tap: Optional[jnp.ndarray] = None,
     chunk_size: int = 256,
     pixel_block: int = 16384,
+    mode: str = "reference",
+    max_instances: Optional[int] = None,
 ) -> dict:
+    """mode: "reference" (O(N*P) oracle) or "tiled" (production binned
+    rasterizer; max_instances is its static instance capacity, default
+    8x the Gaussian count)."""
     g = gaussians
     n = g.means3d.shape[0]
 
@@ -93,19 +98,41 @@ def render(
     if g.alive is not None:
         valid = valid & g.alive
 
-    image = reference.rasterize_sorted(
-        mean2d,
-        proj["depth"],
-        proj["conic"],
-        rgb,
-        g.opacities[..., 0],
-        valid,
-        bg_color,
-        camera.image_width,
-        camera.image_height,
-        chunk_size=chunk_size,
-        pixel_block=pixel_block,
-    )
+    if mode == "tiled":
+        from sgs_tpu.render.tiled import rasterize_tiled
+
+        if max_instances is None:
+            max_instances = -(-8 * n // 1024) * 1024
+        image, _overflow = rasterize_tiled(
+            mean2d,
+            proj["depth"],
+            proj["conic"],
+            rgb,
+            g.opacities[..., 0],
+            proj["radius"],
+            valid,
+            bg_color,
+            camera.image_width,
+            camera.image_height,
+            max_instances=max_instances,
+        )
+    elif mode == "reference":
+        image = reference.rasterize_sorted(
+            mean2d,
+            proj["depth"],
+            proj["conic"],
+            rgb,
+            g.opacities[..., 0],
+            valid,
+            bg_color,
+            camera.image_width,
+            camera.image_height,
+            radius=proj["radius"],
+            chunk_size=chunk_size,
+            pixel_block=pixel_block,
+        )
+    else:
+        raise ValueError(f"unknown rasterizer mode {mode!r}")
     radii = jnp.where(
         valid, proj["radius"], jnp.zeros_like(proj["radius"])
     )

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from sgs_tpu.core.projection import (
     ALPHA_MAX,
     ALPHA_MIN,
+    TILE,
     TRANSMITTANCE_EPS,
 )
 
@@ -42,6 +43,8 @@ def _composite_pixel_block(
     P = pix_xy.shape[0]
     G = chunks["mean2d"].shape[1]
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    pix_tx = (pix_xy[:, 0] / TILE).astype(jnp.int32)  # (P,)
+    pix_ty = (pix_xy[:, 1] / TILE).astype(jnp.int32)
 
     def step(carry, chunk):
         C, T, done = carry
@@ -59,7 +62,19 @@ def _composite_pixel_block(
             - conic[None, :, 1] * dx * dy
         )
         alpha = jnp.minimum(ALPHA_MAX, opac[None, :] * jnp.exp(power))
-        a = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & valid[None, :], alpha, 0.0)
+        # CUDA rect semantics: a Gaussian only touches pixels whose 16x16
+        # tile lies in its radius rect — tails beyond it never composite.
+        in_rect = (
+            (pix_tx[:, None] >= chunk["rect"][None, :, 0])
+            & (pix_tx[:, None] < chunk["rect"][None, :, 1])
+            & (pix_ty[:, None] >= chunk["rect"][None, :, 2])
+            & (pix_ty[:, None] < chunk["rect"][None, :, 3])
+        )
+        a = jnp.where(
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & valid[None, :] & in_rect,
+            alpha,
+            0.0,
+        )
         u = 1.0 - a
         s_incl = jnp.cumprod(u, axis=1)
         t_after = T[:, None] * s_incl
@@ -105,10 +120,16 @@ def rasterize_sorted(
     bg: jnp.ndarray,  # (3,)
     width: int,
     height: int,
+    radius: Optional[jnp.ndarray] = None,  # (N,) for CUDA tile-rect limits
     chunk_size: int = 256,
     pixel_block: int = 16384,
 ) -> jnp.ndarray:
-    """Depth-sort and composite. Returns (3, H, W) image."""
+    """Depth-sort and composite. Returns (3, H, W) image.
+
+    If `radius` is given, each Gaussian only composites into pixels of the
+    16x16 tiles inside its radius rect — the CUDA binning footprint. With
+    radius=None the rect is unbounded (pure mathematical compositing).
+    """
     n = mean2d.shape[0]
     dtype = jnp.promote_types(jnp.result_type(mean2d, rgb, opacity), jnp.float32)
     # Stable ascending depth sort with invalid entries pushed to the end.
@@ -124,12 +145,39 @@ def rasterize_sorted(
             x = jnp.pad(x, pad_widths, constant_values=fill)
         return x.reshape((num_chunks, chunk_size) + x.shape[1:])
 
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    if radius is not None:
+        r = radius.astype(dtype)
+        rect = jnp.stack(
+            [
+                jnp.clip(((mean2d[:, 0] - r) / TILE).astype(jnp.int32), 0, tiles_x),
+                jnp.clip(
+                    ((mean2d[:, 0] + r + TILE - 1) / TILE).astype(jnp.int32),
+                    0,
+                    tiles_x,
+                ),
+                jnp.clip(((mean2d[:, 1] - r) / TILE).astype(jnp.int32), 0, tiles_y),
+                jnp.clip(
+                    ((mean2d[:, 1] + r + TILE - 1) / TILE).astype(jnp.int32),
+                    0,
+                    tiles_y,
+                ),
+            ],
+            axis=-1,
+        )
+    else:
+        rect = jnp.broadcast_to(
+            jnp.asarray([0, tiles_x, 0, tiles_y], jnp.int32), (n, 4)
+        )
+
     chunks = {
         "mean2d": gather_pad(mean2d.astype(dtype)),
         "conic": gather_pad(conic.astype(dtype)),
         "rgb": gather_pad(rgb.astype(dtype)),
         "opacity": gather_pad(opacity.astype(dtype)),
         "valid": gather_pad(valid, fill=False),
+        "rect": gather_pad(rect, fill=0),
     }
 
     # Pixel grid: CUDA pixf = (float)pix for integer pixel coords.

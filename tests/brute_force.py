@@ -12,10 +12,12 @@ import numpy as np
 
 
 def brute_force_render(
-    mean2d, depth, conic, rgb, opacity, valid, bg, width, height
+    mean2d, depth, conic, rgb, opacity, valid, bg, width, height, radius=None
 ):
     order = np.argsort(np.where(valid, depth, np.inf), kind="stable")
     img = np.zeros((height, width, 3), dtype=np.float64)
+    tiles_x = -(-width // 16)
+    tiles_y = -(-height // 16)
     for py in range(height):
         for px in range(width):
             T = 1.0
@@ -23,6 +25,15 @@ def brute_force_render(
             for i in order:
                 if not valid[i]:
                     continue
+                if radius is not None:
+                    # CUDA tile-rect footprint test
+                    r = float(radius[i])
+                    rminx = min(tiles_x, max(0, int((mean2d[i, 0] - r) / 16)))
+                    rmaxx = min(tiles_x, max(0, int((mean2d[i, 0] + r + 15) / 16)))
+                    rminy = min(tiles_y, max(0, int((mean2d[i, 1] - r) / 16)))
+                    rmaxy = min(tiles_y, max(0, int((mean2d[i, 1] + r + 15) / 16)))
+                    if not (rminx <= px // 16 < rmaxx and rminy <= py // 16 < rmaxy):
+                        continue
                 dx = mean2d[i, 0] - px
                 dy = mean2d[i, 1] - py
                 a, b, c = conic[i]

@@ -1,0 +1,113 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgs_tpu.core.camera import Camera
+from sgs_tpu.core.projection import focal2fov, fov2focal
+from sgs_tpu.models.gaussians import DensifyStats, GaussianPool
+from sgs_tpu.parallel.data_parallel import (
+    make_dp_train_step,
+    replicate_state,
+    shard_camera_batch,
+    stack_cameras,
+)
+from sgs_tpu.parallel.mesh import make_mesh
+from sgs_tpu.train.loop import TrainState, train_step
+from sgs_tpu.train.optim import AdamState, make_lr_dict
+
+
+def make_setup(n_cams=8, width=24, height=24, n=40, capacity=64):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    pool = GaussianPool.from_pcd(pts, cols, 1, capacity=capacity)
+    state = TrainState(
+        pool=pool,
+        adam=AdamState.init(pool.params()),
+        stats=DensifyStats.zeros(capacity),
+    )
+    fovx = math.radians(60)
+    fovy = focal2fov(fov2focal(fovx, width), height)
+    cams, gts = [], []
+    for i in range(n_cams):
+        th = 2 * math.pi * i / n_cams
+        R = np.array(
+            [[math.cos(th), 0, math.sin(th)], [0, 1, 0], [-math.sin(th), 0, math.cos(th)]]
+        )
+        cams.append(Camera.from_Rt(R, np.array([0.0, 0.0, 3.0]), fovx, fovy, width, height))
+        gts.append(rng.uniform(size=(3, height, width)).astype(np.float32))
+    return state, cams, np.stack(gts)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_step_runs_and_matches_unsharded_gradient():
+    state, cams, gts = make_setup()
+    mesh = make_mesh((8,), ("data",))
+    step = make_dp_train_step(mesh, active_sh_degree=1)
+    lrs = {k: jnp.float32(1e-3) for k in state.pool.params()}
+    cam_batch = stack_cameras(cams)
+    gt_batch = jnp.asarray(gts)
+    sh_cam, sh_gt = shard_camera_batch(cam_batch, gt_batch, mesh)
+    rep_state = replicate_state(state, mesh)
+    new_state, metrics = step(rep_state, sh_cam, sh_gt, jnp.zeros(3), lrs)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Reference: average of 8 single-camera grad updates == DP update.
+    # Compute the batch-mean gradient manually via the single-chip step
+    # machinery: run value_and_grad per camera, average, apply one Adam step.
+    from sgs_tpu.ops.ssim import l1_loss, ssim
+    from sgs_tpu.render.pipeline import render
+    from sgs_tpu.train.optim import adam_update
+
+    def loss_fn(params, cam, gt):
+        p = state.pool.with_params(params)
+        out = render(cam, p.render_inputs(1), jnp.zeros(3))
+        img = out["render"]
+        return 0.8 * l1_loss(img, gt) + 0.2 * (1 - ssim(img, gt))
+
+    grads = None
+    for cam, gt in zip(cams, gts):
+        g = jax.grad(loss_fn)(state.pool.params(), cam, jnp.asarray(gt))
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+    grads = jax.tree.map(lambda x: x / 8.0, grads)
+    params2, _ = adam_update(
+        state.pool.params(), grads, state.adam, lrs, update_mask=state.pool.alive
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.pool.xyz), np.asarray(params2["xyz"]),
+        rtol=2e-4, atol=2e-6,
+    )
+
+
+def test_dp_densify_stats_sum_over_devices():
+    state, cams, gts = make_setup()
+    mesh = make_mesh((8,), ("data",))
+    step = make_dp_train_step(mesh, active_sh_degree=1)
+    lrs = {k: jnp.float32(0.0) for k in state.pool.params()}
+    cam_batch = stack_cameras(cams)
+    sh_cam, sh_gt = shard_camera_batch(cam_batch, jnp.asarray(gts), mesh)
+    new_state, _ = step(replicate_state(state, mesh), sh_cam, sh_gt, jnp.zeros(3), lrs)
+    denom = np.asarray(new_state.stats.denom)[:, 0]
+    # every alive gaussian near the origin should be visible from most views
+    alive = np.asarray(state.pool.alive)
+    assert denom[alive].max() == 8.0  # visible in all 8 views
+    assert denom[~alive].max() == 0.0
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -61,13 +61,13 @@ def test_matches_brute_force(chunk_size):
     img = rasterize_sorted(
         proj["mean2d"], proj["depth"], proj["conic"], jnp.asarray(colors),
         jnp.asarray(opacity[:, 0]), jnp.asarray(valid), jnp.asarray(bg),
-        cam.image_width, cam.image_height,
+        cam.image_width, cam.image_height, radius=proj["radius"],
         chunk_size=chunk_size, pixel_block=128,
     )
     expected = brute_force_render(
         np.asarray(proj["mean2d"]), np.asarray(proj["depth"]),
         np.asarray(proj["conic"]), colors, opacity[:, 0], valid, bg,
-        cam.image_width, cam.image_height,
+        cam.image_width, cam.image_height, radius=np.asarray(proj["radius"]),
     )
     np.testing.assert_allclose(np.asarray(img), expected, atol=2e-5)
 
