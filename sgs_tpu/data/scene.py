@@ -131,6 +131,7 @@ class Scene:
                     points=pcd.points[idx], colors=pcd.colors[idx],
                     normals=pcd.normals[idx],
                 )
+            self.init_pcd = pcd  # the (possibly downsampled) init cloud
             print(f"Number of points at initialisation : {len(pcd.points)}")
             self.pool = GaussianPool.from_pcd(
                 pcd.points, pcd.colors, args.sh_degree, capacity=pool_capacity

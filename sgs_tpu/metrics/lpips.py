@@ -1,0 +1,161 @@
+"""LPIPS perceptual metric in JAX — the lpipsPyTorch equivalent.
+
+Re-implements /root/reference/lpipsPyTorch/: a VGG16 (or AlexNet) feature
+extractor evaluated at the standard LPIPS tap points, unit-normalized
+activations, learned 1x1 "lin" weights, spatial mean, summed over layers.
+
+Weights: this environment has no network egress and no torchvision, so
+pretrained backbone + lin weights must be provided as an .npz file (path
+via `weights_path` or the SGS_LPIPS_WEIGHTS env var). `lpips_available()`
+reports whether weights are present; metrics fall back to reporting null
+LPIPS otherwise. The .npz layout is documented in `convert_weights_doc`.
+
+Expected npz keys (VGG16):
+  conv{i}_w (HWIO float32), conv{i}_b for i in 0..12 (the 13 conv layers)
+  lin{j}_w (1,1,C,1) for j in 0..4
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv plan: (out_channels, pool_before) per conv layer
+_VGG16_PLAN = [
+    (64, False), (64, False),
+    (128, True), (128, False),
+    (256, True), (256, False), (256, False),
+    (512, True), (512, False), (512, False),
+    (512, True), (512, False), (512, False),
+]
+# taps AFTER relu of these conv indices (relu1_2, 2_2, 3_3, 4_3, 5_3)
+_VGG16_TAPS = [1, 3, 6, 9, 12]
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+DEFAULT_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "weights", "lpips_vgg16.npz",
+)
+
+
+def _weights_path(weights_path: Optional[str]) -> str:
+    return (
+        weights_path
+        or os.environ.get("SGS_LPIPS_WEIGHTS")
+        or DEFAULT_WEIGHTS_PATH
+    )
+
+
+def lpips_available(weights_path: Optional[str] = None) -> bool:
+    return os.path.exists(_weights_path(weights_path))
+
+
+_CACHE = {}
+
+
+def _load_weights(weights_path: Optional[str]) -> dict:
+    path = _weights_path(weights_path)
+    if path not in _CACHE:
+        z = np.load(path)
+        _CACHE[path] = {k: jnp.asarray(z[k]) for k in z.files}
+    return _CACHE[path]
+
+
+def _vgg_features(x: jnp.ndarray, w: dict):
+    """x: (B, 3, H, W) in [0,1]. Returns list of tap activations."""
+    mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
+    x = (x - mean) / std
+    feats = []
+    for i, (_, pool_before) in enumerate(_VGG16_PLAN):
+        if pool_before:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+            )
+        x = jax.lax.conv_general_dilated(
+            x, w[f"conv{i}_w"],
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + w[f"conv{i}_b"].reshape(1, -1, 1, 1)
+        x = jax.nn.relu(x)
+        if i in _VGG16_TAPS:
+            feats.append(x)
+    return feats
+
+
+@partial(jax.jit, static_argnames=())
+def _lpips_jit(x, y, w_list, lin_list):
+    def normalize(f):
+        return f / jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True) + 1e-10)
+
+    total = 0.0
+    fx = _vgg_features(x, w_list)
+    fy = _vgg_features(y, w_list)
+    for j, (a, b) in enumerate(zip(fx, fy)):
+        d = (normalize(a) - normalize(b)) ** 2
+        lin = lin_list[f"lin{j}_w"]  # (1, 1, C, 1)
+        out = jax.lax.conv_general_dilated(
+            d, lin, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        total = total + jnp.mean(out, axis=(1, 2, 3))
+    return total
+
+
+def lpips(
+    img1: jnp.ndarray, img2: jnp.ndarray, net_type: str = "vgg",
+    weights_path: Optional[str] = None,
+) -> jnp.ndarray:
+    """(3,H,W) or (B,3,H,W) images in [0,1] -> LPIPS distance (B,)."""
+    if net_type != "vgg":
+        raise NotImplementedError("only the vgg backbone is implemented")
+    if not lpips_available(weights_path):
+        raise FileNotFoundError(
+            f"LPIPS weights not found at {_weights_path(weights_path)}; "
+            "provide converted VGG16+lin weights (no network egress here). "
+            "See sgs_tpu/metrics/lpips.py docstring for the .npz layout."
+        )
+    w = _load_weights(weights_path)
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    conv = {k: v for k, v in w.items() if k.startswith("conv")}
+    lin = {k: v for k, v in w.items() if k.startswith("lin")}
+    return _lpips_jit(img1, img2, conv, lin)
+
+
+def convert_torchvision_weights(out_path: str) -> None:
+    """Offline helper: convert torchvision VGG16 + richzhang lin weights to
+    the .npz layout (requires torchvision + downloaded lin weights — run on
+    a machine with network access, then ship the .npz)."""
+    import torch
+    import torchvision
+
+    vgg = torchvision.models.vgg16(weights="DEFAULT").features
+    arrays = {}
+    conv_idx = 0
+    for layer in vgg:
+        if isinstance(layer, torch.nn.Conv2d):
+            # torch OIHW -> HWIO
+            arrays[f"conv{conv_idx}_w"] = (
+                layer.weight.detach().numpy().transpose(2, 3, 1, 0)
+            )
+            arrays[f"conv{conv_idx}_b"] = layer.bias.detach().numpy()
+            conv_idx += 1
+    url = (
+        "https://raw.githubusercontent.com/richzhang/PerceptualSimilarity/"
+        "master/lpips/weights/v0.1/vgg.pth"
+    )
+    lin_sd = torch.hub.load_state_dict_from_url(url, progress=True, map_location="cpu")
+    for j in range(5):
+        w = lin_sd[f"lin{j}.model.1.weight"].numpy()  # (1, C, 1, 1)
+        arrays[f"lin{j}_w"] = w.transpose(2, 3, 1, 0)  # -> (1, 1, C, 1)
+    np.savez(out_path, **arrays)

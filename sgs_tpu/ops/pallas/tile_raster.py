@@ -1,0 +1,257 @@
+"""Pallas TPU kernels for per-tile Gaussian compositing.
+
+The hot loop of the framework. The XLA instance-major path
+(render/tiled.py) must process every instance; this kernel instead walks
+each 16x16 tile's depth-sorted instance range in VMEM chunks and STOPS as
+soon as every pixel of the tile is saturated (transmittance < 1e-4) — the
+early-termination win that makes the CUDA rasterizer fast on opaque
+scenes.
+
+TPU-shaped layout (everything lane-aligned for Mosaic):
+  - instances are packed CHUNK(=128)-padded per tile into an
+    (R * REC, CHUNK) f32 HBM array: rows [r*REC, (r+1)*REC) hold chunk r's
+    REC=16 attribute lanes [mean_x, mean_y, conic_a, conic_b, conic_c,
+    opacity, red, green, blue, pad...] — so every DMA is an aligned
+    (REC, CHUNK) block and padded slots have opacity 0 (alpha 0);
+  - per-tile chunk-row offsets/counts + the tile's position in the
+    unpadded sorted order arrive via scalar prefetch;
+  - compute orientation: pixels on sublanes (256), instances on lanes
+    (CHUNK): alphas are (256, CHUNK) VPU ops, the in-chunk ordering is a
+    Hillis-Steele cumulative product along lanes, and color accumulates
+    with a transpose-free (256, CHUNK) x (CHUNK, 3) MXU contraction.
+
+Outputs: per-tile colors (T, 256, 3), final transmittance and
+last-contributor position as (T, 256, 8) (lane-padded; column 0 is the
+value) — squeezed by the wrapper to the same contract as the XLA forward,
+so the shared custom-VJP backward applies unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgs_tpu.core.projection import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    TILE,
+    TRANSMITTANCE_EPS,
+)
+
+TILE_PIXELS = TILE * TILE  # 256
+REC = 16  # attribute rows per chunk (9 used)
+CHUNK = 128  # instances per chunk (lane width)
+OUT_PAD = 8  # lane padding of the scalar per-pixel outputs
+
+
+def pack_chunked_instances(
+    mean2d, conic, rgb, opacity, g_sorted, tile_sorted, num_tiles, max_chunk_rows
+):
+    """Build the chunk-padded SoA instance buffer + per-tile chunk offsets.
+
+    Returns (packed (max_chunk_rows*REC, CHUNK), chunk_row_start (T,),
+    n_chunks (T,), tile_start (T,)).
+    """
+    m = g_sorted.shape[0]
+    f32 = jnp.float32
+    tiles = jnp.arange(num_tiles, dtype=tile_sorted.dtype)
+    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
+    counts = tile_end - tile_start
+    n_chunks = -(-counts // CHUNK)
+    chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
+
+    # destination slot of each sorted instance in the padded buffer
+    live = tile_sorted < num_tiles
+    safe_tile = jnp.clip(tile_sorted, 0, num_tiles - 1)
+    rank = jnp.arange(m, dtype=jnp.int32) - tile_start[safe_tile]
+    dest = chunk_row_start[safe_tile] * CHUNK + rank
+    total_slots = max_chunk_rows * CHUNK
+    dest = jnp.where(live, dest, total_slots)  # dropped
+
+    attrs = jnp.stack(
+        [
+            mean2d[g_sorted, 0], mean2d[g_sorted, 1],
+            conic[g_sorted, 0], conic[g_sorted, 1], conic[g_sorted, 2],
+            opacity[g_sorted] * live.astype(f32),
+            rgb[g_sorted, 0], rgb[g_sorted, 1], rgb[g_sorted, 2],
+        ],
+        axis=0,
+    ).astype(f32)  # (9, M)
+    packed = jnp.zeros((REC, total_slots), f32)
+    packed = packed.at[:9, dest].set(attrs, mode="drop")
+    # (REC, R, CHUNK) -> (R, REC, CHUNK) -> (R*REC, CHUNK)
+    packed = packed.reshape(REC, max_chunk_rows, CHUNK).transpose(1, 0, 2)
+    packed = packed.reshape(max_chunk_rows * REC, CHUNK)
+    return packed, chunk_row_start, n_chunks, tile_start
+
+
+def _forward_kernel(
+    # scalar prefetch
+    chunk_row_ref, n_chunks_ref, tile_start_ref, tiles_x_ref,
+    # inputs
+    inst_hbm,  # (R*REC, CHUNK) in ANY/HBM
+    # outputs (blocked per tile)
+    color_ref,  # (1, 256, 3)
+    tfinal_ref,  # (1, 256, OUT_PAD)
+    lastc_ref,  # (1, 256, OUT_PAD) int32
+    # scratch
+    buf,  # (2, REC, CHUNK) VMEM
+    sems,  # (2,) DMA semaphores
+):
+    t = pl.program_id(0)
+    row0 = chunk_row_ref[t]
+    num_chunks = n_chunks_ref[t]
+    tstart = tile_start_ref[t]
+    tiles_x = tiles_x_ref[0]
+
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, CHUNK), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIXELS, CHUNK), 1)
+    tx = ((t % tiles_x) * TILE).astype(jnp.float32)
+    ty = ((t // tiles_x) * TILE).astype(jnp.float32)
+    px = tx + jax.lax.rem(p_idx, TILE).astype(jnp.float32)  # (256, CHUNK)
+    py = ty + (p_idx // TILE).astype(jnp.float32)
+
+    color_ref[...] = jnp.zeros((1, TILE_PIXELS, 3), jnp.float32)
+    tfinal_ref[...] = jnp.ones((1, TILE_PIXELS, OUT_PAD), jnp.float32)
+    lastc_ref[...] = jnp.zeros((1, TILE_PIXELS, OUT_PAD), jnp.int32)
+
+    def dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            inst_hbm.at[pl.ds((row0 + chunk_idx) * REC, REC)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+        def cond(state):
+            i, t_row, done = state
+            return (i < num_chunks) & jnp.logical_not(done)
+
+        def body(state):
+            i, t_row, _ = state
+            # static-index double buffering (Mosaic cannot dynamic-slice
+            # the VMEM scratch)
+            is_even = jax.lax.rem(i, 2) == 0
+
+            @pl.when((i + 1 < num_chunks) & is_even)
+            def _():
+                dma(1, i + 1).start()
+
+            @pl.when((i + 1 < num_chunks) & jnp.logical_not(is_even))
+            def _():
+                dma(0, i + 1).start()
+
+            @pl.when(is_even)
+            def _():
+                dma(0, i).wait()
+
+            @pl.when(jnp.logical_not(is_even))
+            def _():
+                dma(1, i).wait()
+
+            rec = jax.lax.cond(is_even, lambda: buf[0], lambda: buf[1])
+            mean_x = rec[0:1, :]  # (1, CHUNK) broadcasts over sublanes
+            mean_y = rec[1:2, :]
+            ca = rec[2:3, :]
+            cb = rec[3:4, :]
+            cc = rec[4:5, :]
+            op = rec[5:6, :]
+            rgb_t = rec[6:9, :]  # (3, CHUNK)
+
+            dx = mean_x - px  # (256, CHUNK)
+            dy = mean_y - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            a = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+            u = 1.0 - a
+            # Hillis-Steele inclusive cumprod along the instance lanes
+            cp = u
+            k = 1
+            while k < CHUNK:
+                cp = cp * jnp.concatenate(
+                    [jnp.ones((TILE_PIXELS, k), jnp.float32), cp[:, :-k]], axis=1
+                )
+                k *= 2
+            s = t_row * cp  # FULL running product (the latch carrier)
+            include = (s >= TRANSMITTANCE_EPS) & (a > 0.0)
+            cp_prev = jnp.concatenate(
+                [jnp.ones((TILE_PIXELS, 1), jnp.float32), cp[:, :-1]], axis=1
+            )
+            w = jnp.where(include, t_row * cp_prev * a, 0.0)  # (256, CHUNK)
+            # color += w @ rgb^T : contract instance lanes on the MXU
+            color_ref[0] += jax.lax.dot_general(
+                w, rgb_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # last contributor position (unpadded sorted order, +1)
+            pos = tstart + i * CHUNK + lane + 1
+            lastc_val = jnp.max(
+                jnp.where(include, pos, 0), axis=1, keepdims=True
+            )  # (256, 1)
+            lastc_ref[0] = jnp.maximum(
+                lastc_ref[0], jnp.broadcast_to(lastc_val, (TILE_PIXELS, OUT_PAD))
+            )
+            tf_val = jnp.min(
+                jnp.where(include, s, 1.0), axis=1, keepdims=True
+            )
+            tfinal_ref[0] = jnp.minimum(
+                tfinal_ref[0], jnp.broadcast_to(tf_val, (TILE_PIXELS, OUT_PAD))
+            )
+            # carry the FULL product: once below eps it can never recover
+            # (u <= 1) — exactly the CUDA done-latch
+            t_new = s[:, CHUNK - 1 : CHUNK]  # (256, 1)
+            done_now = jnp.all(t_new < TRANSMITTANCE_EPS)
+            return i + 1, t_new, done_now
+
+        init_t = jnp.ones((TILE_PIXELS, 1), jnp.float32)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), init_t, False))
+
+
+def forward_pallas(
+    packed, chunk_row_start, n_chunks, tile_start, num_tiles, tiles_x,
+    interpret=False,
+):
+    """Returns (colors (T,256,3), t_final (T,256), last_contrib (T,256))."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, TILE_PIXELS, 3), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIXELS, OUT_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_PIXELS, OUT_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, REC, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    colors, t_final, last_contrib = pl.pallas_call(
+        _forward_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, 3), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, OUT_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, OUT_PAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        chunk_row_start, n_chunks, tile_start,
+        jnp.asarray([tiles_x], jnp.int32), packed,
+    )
+    return colors, t_final[:, :, 0], last_contrib[:, :, 0]
+
+
+def tile_ranges(tile_sorted: jnp.ndarray, num_tiles: int):
+    """Per-tile [start, end) ranges in the sorted instance array."""
+    tiles = jnp.arange(num_tiles, dtype=tile_sorted.dtype)
+    start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
+    return start, end

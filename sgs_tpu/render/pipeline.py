@@ -56,10 +56,11 @@ def render(
     pixel_block: int = 16384,
     mode: str = "reference",
     max_instances: Optional[int] = None,
+    backend: str = "xla",
 ) -> dict:
     """mode: "reference" (O(N*P) oracle) or "tiled" (production binned
     rasterizer; max_instances is its static instance capacity, default
-    8x the Gaussian count)."""
+    8x the Gaussian count; backend selects the XLA or Pallas forward)."""
     g = gaussians
     n = g.means3d.shape[0]
 
@@ -115,6 +116,7 @@ def render(
             camera.image_width,
             camera.image_height,
             max_instances=max_instances,
+            backend=backend,
         )
     elif mode == "reference":
         image = reference.rasterize_sorted(

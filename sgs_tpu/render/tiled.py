@@ -108,25 +108,32 @@ def _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
     min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
     rect_w = max_x - min_x
     counts = jnp.where(ok, rect_w * (max_y - min_y), 0)
-    offsets = jnp.cumsum(counts) - counts  # exclusive
-    total = offsets[-1] + counts[-1]
+
+    # Pre-sort GAUSSIANS by depth (N-sized, cheap) so instances are emitted
+    # in global depth order; the big M-sized sort then needs only the tile
+    # id as key (stable => per-tile depth order preserved). Equal depths
+    # fall back to Gaussian id order exactly like a (tile, depth) 2-key
+    # stable sort would.
+    depth_key = jnp.where(ok, depth.astype(f32), jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # (N,)
+    counts_o = counts[order]
+    offsets_o = jnp.cumsum(counts_o) - counts_o  # exclusive
+    total = offsets_o[-1] + counts_o[-1]
     overflow = jnp.maximum(total - max_instances, 0)
 
     m = max_instances
     inst = jnp.arange(m, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, inst, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, n - 1)
-    rank = inst - offsets[g]
-    live = (inst < total) & (rank < counts[g])
+    gi = jnp.searchsorted(offsets_o, inst, side="right").astype(jnp.int32) - 1
+    gi = jnp.clip(gi, 0, n - 1)
+    g = order[gi]
+    rank = inst - offsets_o[gi]
+    live = (inst < total) & (rank < counts_o[gi])
     rw = jnp.maximum(rect_w[g], 1)
     tx = min_x[g] + rank % rw
     ty = min_y[g] + rank // rw
     tile_id = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    sort_depth = jnp.where(live, depth[g].astype(f32), jnp.inf)
-    tile_s, _, g_s = jax.lax.sort(
-        (tile_id, sort_depth, g), num_keys=2, is_stable=True
-    )
+    tile_s, g_s = jax.lax.sort((tile_id, g), num_keys=1, is_stable=True)
     return tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y
 
 
@@ -159,6 +166,36 @@ def _alphas(gs, px, py, live, mean2d, conic, opacity):
 
 
 # ---------------------------------------------------------------- forward
+
+def _forward_pallas(
+    mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+    width, height, max_instances, chunk,
+):
+    """Pallas per-tile forward: same binning, kernel compositing with
+    early termination. Output contract identical to _forward."""
+    from sgs_tpu.ops.pallas import tile_raster as ptr
+
+    f32 = jnp.float32
+    tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
+        mean2d, depth, radius, valid, width, height, max_instances
+    )
+    # worst-case chunk rows: every tile's range padded to a chunk boundary
+    max_chunk_rows = max_instances // ptr.CHUNK + num_tiles
+    packed, chunk_row_start, n_chunks, tile_start = ptr.pack_chunked_instances(
+        mean2d.astype(f32), conic.astype(f32), rgb.astype(f32),
+        opacity.astype(f32), g_s, tile_s, num_tiles, max_chunk_rows,
+    )
+    interpret = jax.default_backend() == "cpu"
+    colors, t_final, last_contrib = ptr.forward_pallas(
+        packed, chunk_row_start, n_chunks, tile_start, num_tiles, tiles_x,
+        interpret=interpret,
+    )
+    out = colors + t_final[:, :, None] * bg[None, None, :].astype(f32)
+    img = out.reshape(tiles_y, tiles_x, TILE, TILE, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, 3)
+    img = img[:height, :width].transpose(2, 0, 1)
+    return img, overflow, t_final, last_contrib
+
 
 def _forward(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
@@ -384,12 +421,13 @@ def _backward(
 
 # ---------------------------------------------------------------- public
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _rasterize_core(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-    width, height, max_instances, chunk,
+    width, height, max_instances, chunk, backend,
 ):
-    img, overflow, _, _ = _forward(
+    fwd = _forward_pallas if backend == "pallas" else _forward
+    img, overflow, _, _ = fwd(
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
         width, height, max_instances, chunk,
     )
@@ -398,9 +436,10 @@ def _rasterize_core(
 
 def _core_fwd(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-    width, height, max_instances, chunk,
+    width, height, max_instances, chunk, backend,
 ):
-    img, overflow, t_final, last_contrib = _forward(
+    fwd = _forward_pallas if backend == "pallas" else _forward
+    img, overflow, t_final, last_contrib = fwd(
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
         width, height, max_instances, chunk,
     )
@@ -408,7 +447,7 @@ def _core_fwd(
     return (img, overflow), res
 
 
-def _core_bwd(width, height, max_instances, chunk, res, cotangents):
+def _core_bwd(width, height, max_instances, chunk, backend, res, cotangents):
     (mean2d, depth, conic, rgb, opacity, radius, valid, bg, t_final, last_contrib) = res
     d_img, _d_overflow = cotangents
     d_mean2d, d_conic, d_rgb, d_opac = _backward(
@@ -447,7 +486,7 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "max_instances", "chunk"),
+    static_argnames=("width", "height", "max_instances", "chunk", "backend"),
 )
 def rasterize_tiled(
     mean2d: jnp.ndarray,  # (N, 2)
@@ -462,6 +501,7 @@ def rasterize_tiled(
     height: int,
     max_instances: int,
     chunk: int = 1024,
+    backend: str = "xla",  # "xla" | "pallas" (forward kernel choice)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ((3, H, W) image, overflow count)."""
     return _rasterize_core(
@@ -477,4 +517,5 @@ def rasterize_tiled(
         height,
         max_instances,
         chunk,
+        backend,
     )

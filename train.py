@@ -25,6 +25,9 @@ from sgs_tpu.utils.general import safe_state
 
 
 def main(argv=None):
+    from sgs_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = ArgumentParser(description="Training script parameters")
     add_dataclass_args(parser, ModelParams, "Loading Parameters")
     add_dataclass_args(parser, OptimizationParams, "Optimization Parameters")
