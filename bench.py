@@ -83,7 +83,7 @@ def main():
         def loss_fn(params):
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
-                mode="tiled", max_instances=max_instances,
+                mode="tiled", max_instances=max_instances, backend="pallas",
             )
             return l1_loss(out["render"], gt)
 

@@ -62,16 +62,12 @@ def pack_chunked_instances(
     counts = tile_end - tile_start
     n_chunks = -(-counts // CHUNK)
     chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
+    rows_used = chunk_row_start[-1] + n_chunks[-1] if num_tiles else 0
 
-    # destination slot of each sorted instance in the padded buffer
+    # GATHER formulation (TPU scatters are slow): for every padded slot
+    # (chunk row r, lane l) find its source instance in the sorted order.
     live = tile_sorted < num_tiles
-    safe_tile = jnp.clip(tile_sorted, 0, num_tiles - 1)
-    rank = jnp.arange(m, dtype=jnp.int32) - tile_start[safe_tile]
-    dest = chunk_row_start[safe_tile] * CHUNK + rank
-    total_slots = max_chunk_rows * CHUNK
-    dest = jnp.where(live, dest, total_slots)  # dropped
-
-    attrs = jnp.stack(
+    attrs_sorted = jnp.stack(
         [
             mean2d[g_sorted, 0], mean2d[g_sorted, 1],
             conic[g_sorted, 0], conic[g_sorted, 1], conic[g_sorted, 2],
@@ -80,11 +76,30 @@ def pack_chunked_instances(
         ],
         axis=0,
     ).astype(f32)  # (9, M)
-    packed = jnp.zeros((REC, total_slots), f32)
-    packed = packed.at[:9, dest].set(attrs, mode="drop")
+
+    rowv = jnp.arange(max_chunk_rows, dtype=jnp.int32)
+    # tile owning chunk row r (rows past rows_used map to the last tile and
+    # are masked below)
+    row_tile = (
+        jnp.searchsorted(chunk_row_start, rowv, side="right").astype(jnp.int32) - 1
+    )
+    row_tile = jnp.clip(row_tile, 0, num_tiles - 1)
+    lanes = jnp.arange(CHUNK, dtype=jnp.int32)
+    src = (
+        tile_start[row_tile][:, None]
+        + (rowv - chunk_row_start[row_tile])[:, None] * CHUNK
+        + lanes[None, :]
+    )  # (R, CHUNK)
+    slot_ok = (rowv[:, None] < rows_used) & (src < tile_end[row_tile][:, None])
+    src = jnp.clip(src, 0, m - 1)
+    packed = jnp.where(
+        slot_ok[None, :, :], attrs_sorted[:, src], 0.0
+    )  # (9, R, CHUNK)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((REC - 9, max_chunk_rows, CHUNK), f32)], axis=0
+    )
     # (REC, R, CHUNK) -> (R, REC, CHUNK) -> (R*REC, CHUNK)
-    packed = packed.reshape(REC, max_chunk_rows, CHUNK).transpose(1, 0, 2)
-    packed = packed.reshape(max_chunk_rows * REC, CHUNK)
+    packed = packed.transpose(1, 0, 2).reshape(max_chunk_rows * REC, CHUNK)
     return packed, chunk_row_start, n_chunks, tile_start
 
 
@@ -211,7 +226,22 @@ def _forward_kernel(
             return i + 1, t_new, done_now
 
         init_t = jnp.ones((TILE_PIXELS, 1), jnp.float32)
-        jax.lax.while_loop(cond, body, (jnp.int32(0), init_t, False))
+        i_end, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init_t, False)
+        )
+
+        # Early exit leaves the prefetched next chunk's DMA in flight —
+        # drain it or the semaphore corrupts the next grid step.
+        pending = i_end < num_chunks
+        even_pending = jax.lax.rem(i_end, 2) == 0
+
+        @pl.when(pending & even_pending)
+        def _():
+            dma(0, i_end).wait()
+
+        @pl.when(pending & jnp.logical_not(even_pending))
+        def _():
+            dma(1, i_end).wait()
 
 
 def forward_pallas(

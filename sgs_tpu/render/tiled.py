@@ -123,8 +123,15 @@ def _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
 
     m = max_instances
     inst = jnp.arange(m, dtype=jnp.int32)
-    gi = jnp.searchsorted(offsets_o, inst, side="right").astype(jnp.int32) - 1
-    gi = jnp.clip(gi, 0, n - 1)
+    # instance -> (depth-ranked) gaussian WITHOUT searchsorted (a binary
+    # search costs ~17 gathered loads per instance on TPU): scatter each
+    # gaussian's depth-rank at its run start, then cummax fills the runs.
+    # Zero-count gaussians share their successor's offset; .max keeps the
+    # largest rank, which is the run's true owner.
+    run_marks = jnp.zeros((m,), jnp.int32).at[offsets_o].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    gi = jax.lax.cummax(run_marks)
     g = order[gi]
     rank = inst - offsets_o[gi]
     live = (inst < total) & (rank < counts_o[gi])

@@ -35,7 +35,10 @@ class TrainState:
 
 @partial(
     jax.jit,
-    static_argnames=("active_sh_degree", "lambda_dssim", "freeze_xyz", "apply_update"),
+    static_argnames=(
+        "active_sh_degree", "lambda_dssim", "freeze_xyz", "apply_update",
+        "mode", "max_instances", "backend",
+    ),
     donate_argnums=(0,),
 )
 def train_step(
@@ -48,6 +51,9 @@ def train_step(
     lambda_dssim: float = 0.2,
     freeze_xyz: bool = False,
     apply_update: bool = True,
+    mode: str = "reference",
+    max_instances: int = 0,
+    backend: str = "xla",
 ) -> Tuple[TrainState, dict]:
     pool, adam, stats = state.pool, state.adam, state.stats
     n = pool.capacity
@@ -56,7 +62,8 @@ def train_step(
     def loss_fn(params, tap):
         p = pool.with_params(params)
         out = render(
-            camera, p.render_inputs(active_sh_degree), bg_color, vspace_tap=tap
+            camera, p.render_inputs(active_sh_degree), bg_color, vspace_tap=tap,
+            mode=mode, max_instances=max_instances or None, backend=backend,
         )
         image = out["render"]
         ll1 = l1_loss(image, gt_image)
@@ -88,13 +95,45 @@ def train_step(
     return TrainState(pool=new_pool, adam=new_adam, stats=new_stats), metrics
 
 
-@partial(jax.jit, static_argnames=("active_sh_degree",))
+@partial(
+    jax.jit, static_argnames=("active_sh_degree", "mode", "max_instances", "backend")
+)
 def eval_render(
     pool: GaussianPool,
     camera: Camera,
     bg_color: jnp.ndarray,
     active_sh_degree: int,
+    mode: str = "reference",
+    max_instances: int = 0,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """Clamped render for evaluation (training_report, train.py:191)."""
-    out = render(camera, pool.render_inputs(active_sh_degree), bg_color)
+    out = render(
+        camera, pool.render_inputs(active_sh_degree), bg_color,
+        mode=mode, max_instances=max_instances or None, backend=backend,
+    )
     return jnp.clip(out["render"], 0.0, 1.0)
+
+
+def instance_bucket(pool: GaussianPool, camera: Camera, headroom: float = 1.4) -> int:
+    """Power-of-two instance-capacity bucket for the tiled rasterizer —
+    recomputed at densification events so recompiles only happen on
+    doubling."""
+    import math
+
+    from sgs_tpu.core.projection import project_gaussians
+    from sgs_tpu.render.tiled import instance_count
+
+    proj = project_gaussians(
+        pool.xyz, pool.get_covariance(), camera.world_view_transform,
+        camera.full_proj_transform, camera.tanfovx, camera.tanfovy,
+        camera.image_width, camera.image_height,
+    )
+    total = int(
+        instance_count(
+            proj["mean2d"], proj["radius"], (proj["radius"] > 0) & pool.alive,
+            camera.image_width, camera.image_height,
+        )
+    )
+    want = max(4096, int(total * headroom))
+    return 1 << math.ceil(math.log2(want))

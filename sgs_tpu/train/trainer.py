@@ -30,7 +30,7 @@ from sgs_tpu.models.densify import densify_and_prune, reset_opacity
 from sgs_tpu.models.gaussians import DensifyStats, GaussianPool, PARAM_FIELDS
 from sgs_tpu.ops.ssim import l1_loss, psnr
 from sgs_tpu.train import checkpoint as ckpt
-from sgs_tpu.train.loop import TrainState, eval_render, train_step
+from sgs_tpu.train.loop import TrainState, eval_render, instance_bucket, train_step
 from sgs_tpu.train.optim import AdamState, make_lr_dict
 from sgs_tpu.utils.config import (
     ModelParams,
@@ -96,6 +96,8 @@ def training(
     adam = AdamState.init(pool.params())
     stats = DensifyStats.zeros(pool.capacity)
     state = TrainState(pool=pool, adam=adam, stats=stats)
+    raster_mode = getattr(pipe, "rasterizer", "tiled")
+    raster_backend = getattr(pipe, "raster_backend", "xla")
     spatial_lr_scale = scene.cameras_extent
     active_sh_degree = 0
     first_iter = 0
@@ -117,6 +119,11 @@ def training(
     train_cams = scene.getTrainCameras()
     print(f"# train cameras {len(train_cams)}")
     print(f"# test cameras {len(scene.getTestCameras())}")
+
+    max_instances = 0
+    if raster_mode == "tiled":
+        max_instances = instance_bucket(state.pool, train_cams[0].camera)
+        print(f"instance capacity bucket: {max_instances}")
 
     use_tqdm = not pipe.no_tqdm
     progress = None
@@ -159,6 +166,9 @@ def training(
             lambda_dssim=opt.lambda_dssim,
             freeze_xyz=dataset.freeze_xyz,
             apply_update=iteration < opt.iterations,
+            mode=raster_mode,
+            max_instances=max_instances,
+            backend=raster_backend,
         )
 
         loss_val = float(metrics["loss"])
@@ -170,7 +180,9 @@ def training(
         # ------------------------------------------------ periodic host work
         if iteration in testing_iterations:
             training_report(
-                tsv, iteration, scene, state.pool, active_sh_degree, bg_color
+                tsv, iteration, scene, state.pool, active_sh_degree, bg_color,
+                mode=raster_mode, max_instances=max_instances,
+                backend=raster_backend,
             )
 
         if iteration in saving_iterations:
@@ -209,6 +221,12 @@ def training(
                 if dropped:
                     print(f"\n[ITER {iteration}] WARNING: dropped {dropped} "
                           "densified Gaussians (pool full)")
+                if raster_mode == "tiled":
+                    new_bucket = instance_bucket(state.pool, cam.camera)
+                    if new_bucket != max_instances:
+                        print(f"\n[ITER {iteration}] instance bucket "
+                              f"{max_instances} -> {new_bucket}")
+                        max_instances = new_bucket
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 dataset.white_background and iteration == opt.densify_from_iter
@@ -237,7 +255,8 @@ def training(
 
 
 def training_report(
-    tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color
+    tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color,
+    mode: str = "reference", max_instances: int = 0, backend: str = "xla",
 ) -> None:
     """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row."""
     train_cams = scene.getTrainCameras()
@@ -257,7 +276,10 @@ def training_report(
             continue
         l1_sum, psnr_sum = 0.0, 0.0
         for cam in cams:
-            image = eval_render(pool, cam.camera, bg_color, active_sh_degree)
+            image = eval_render(
+                pool, cam.camera, bg_color, active_sh_degree,
+                mode=mode, max_instances=max_instances, backend=backend,
+            )
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
             l1_sum += float(l1_loss(image, gt))
             psnr_sum += float(psnr(image, gt))

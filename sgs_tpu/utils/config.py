@@ -46,6 +46,9 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     no_tqdm: bool = False
     debug: bool = False
+    # TPU-framework extensions: rasterizer selection
+    rasterizer: str = "tiled"  # "tiled" (production) | "reference" (oracle)
+    raster_backend: str = "xla"  # "xla" | "pallas" forward kernel
 
     _shorthands: dict = field(default_factory=dict)
 
