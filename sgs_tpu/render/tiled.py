@@ -140,8 +140,10 @@ def _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
     ty = min_y[g] + rank // rw
     tile_id = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    tile_s, g_s = jax.lax.sort((tile_id, g), num_keys=1, is_stable=True)
-    return tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y
+    tile_s, g_s, perm = jax.lax.sort(
+        (tile_id, g, inst), num_keys=1, is_stable=True
+    )
+    return tile_s, g_s, perm, overflow, num_tiles, tiles_x, tiles_y
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -183,7 +185,7 @@ def _forward_pallas(
     from sgs_tpu.ops.pallas import tile_raster as ptr
 
     f32 = jnp.float32
-    tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
+    tile_s, g_s, _perm, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
         mean2d, depth, radius, valid, width, height, max_instances
     )
     # worst-case chunk rows: every tile's range padded to a chunk boundary
@@ -201,7 +203,11 @@ def _forward_pallas(
     img = out.reshape(tiles_y, tiles_x, TILE, TILE, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, 3)
     img = img[:height, :width].transpose(2, 0, 1)
-    return img, overflow, t_final, last_contrib
+    built = {
+        "packed": packed, "crs": chunk_row_start, "nch": n_chunks,
+        "tstart": tile_start, "tile_s": tile_s, "perm": _perm,
+    }
+    return img, overflow, t_final, last_contrib, built
 
 
 def _forward(
@@ -209,7 +215,7 @@ def _forward(
     width, height, max_instances, chunk,
 ):
     f32 = jnp.float32
-    tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
+    tile_s, g_s, _perm, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
         mean2d, depth, radius, valid, width, height, max_instances
     )
     m = max_instances
@@ -283,6 +289,79 @@ def _forward(
 
 # ---------------------------------------------------------------- backward
 
+def _image_to_tiles(d_img, width, height, tiles_x, tiles_y):
+    """(3, H, W) cotangent -> (T, 256, 3) tile layout (zero-padded crop)."""
+    h_pad, w_pad = tiles_y * TILE, tiles_x * TILE
+    dC = jnp.zeros((h_pad, w_pad, 3), jnp.float32)
+    dC = dC.at[:height, :width].set(d_img.transpose(1, 2, 0).astype(jnp.float32))
+    dC = dC.reshape(tiles_y, TILE, tiles_x, TILE, 3).transpose(0, 2, 1, 3, 4)
+    return dC.reshape(tiles_x * tiles_y, TILE_PIXELS, 3)
+
+
+def _backward_pallas_host(
+    mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+    width, height, max_instances, chunk,
+    t_final, last_contrib, d_img, built,
+):
+    """Pallas backward: per-tile reverse-walk kernel emits per-instance
+    gradient records; the per-Gaussian reduction is gather-only (sorted
+    segment sum over the contiguous generation-order runs). `built` is
+    the forward's binning/packing residual (avoids a rebuild)."""
+    from sgs_tpu.ops.pallas import tile_raster as ptr
+
+    f32 = jnp.float32
+    n = mean2d.shape[0]
+    m = max_instances
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    num_tiles = tiles_x * tiles_y
+    packed, crs, nch, tstart = (
+        built["packed"], built["crs"], built["nch"], built["tstart"]
+    )
+    tile_s, perm = built["tile_s"], built["perm"]
+    dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
+    max_chunk_rows = packed.shape[0] // ptr.REC
+    grad_init = jnp.zeros((max_chunk_rows * ptr.GREC, ptr.CHUNK), f32)
+    interpret = jax.default_backend() == "cpu"
+    padgrad = ptr.backward_pallas(
+        packed, grad_init, crs, nch, tstart, bg.astype(f32),
+        t_final, last_contrib, dC, num_tiles, tiles_x, interpret=interpret,
+    )
+
+    # ---- per-instance grads back to per-Gaussian (gathers only) ----
+    live_sorted = tile_s < num_tiles
+    safe_tile = jnp.clip(tile_s, 0, num_tiles - 1)
+    slot_sorted = crs[safe_tile] * ptr.CHUNK + (
+        jnp.arange(m, dtype=jnp.int32) - tstart[safe_tile]
+    )
+    inv = jnp.argsort(perm)  # generation order -> sorted position
+    slot_gen = slot_sorted[inv]
+    live_gen = live_sorted[inv]
+    row = slot_gen // ptr.CHUNK
+    lane = slot_gen % ptr.CHUNK
+    ch = jnp.arange(9, dtype=jnp.int32)
+    vals = padgrad[row[:, None] * ptr.GREC + ch[None, :], lane[:, None]]
+    vals = jnp.where(live_gen[:, None], vals, 0.0)
+
+    # generation-order instances are contiguous per depth-ranked gaussian
+    ok = valid & (radius > 0)
+    min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
+    counts = jnp.where(ok, (max_x - min_x) * (max_y - min_y), 0)
+    depth_key = jnp.where(ok, depth.astype(f32), jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+    counts_o = counts[order]
+    offsets_o = jnp.cumsum(counts_o) - counts_o
+    run_marks = jnp.zeros((m,), jnp.int32).at[offsets_o].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    gi_gen = jax.lax.cummax(run_marks)
+    sums_o = jax.ops.segment_sum(
+        vals, gi_gen, num_segments=n, indices_are_sorted=True
+    )  # (n, 9) per depth-ranked gaussian
+    d = jnp.zeros((n, 9), f32).at[order].set(sums_o)
+    return d[:, 0:2], d[:, 2:5], d[:, 6:9], d[:, 5]
+
+
 def _backward(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk,
@@ -290,7 +369,7 @@ def _backward(
 ):
     """Back-to-front re-walk, mirroring backward.cu's per-tile loop."""
     f32 = jnp.float32
-    tile_s, g_s, _, num_tiles, tiles_x, tiles_y = _build_instances(
+    tile_s, g_s, _perm, _, num_tiles, tiles_x, tiles_y = _build_instances(
         mean2d, depth, radius, valid, width, height, max_instances
     )
     n = mean2d.shape[0]
@@ -433,11 +512,16 @@ def _rasterize_core(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk, backend,
 ):
-    fwd = _forward_pallas if backend == "pallas" else _forward
-    img, overflow, _, _ = fwd(
-        mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-        width, height, max_instances, chunk,
-    )
+    if backend == "pallas":
+        img, overflow = _forward_pallas(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+        )[:2]
+    else:
+        img, overflow, _, _ = _forward(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+        )
     return img, overflow
 
 
@@ -445,23 +529,42 @@ def _core_fwd(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk, backend,
 ):
-    fwd = _forward_pallas if backend == "pallas" else _forward
-    img, overflow, t_final, last_contrib = fwd(
+    if backend == "pallas":
+        img, overflow, t_final, last_contrib, built = _forward_pallas(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+        )
+    else:
+        img, overflow, t_final, last_contrib = _forward(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+        )
+        built = None
+    res = (
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-        width, height, max_instances, chunk,
+        t_final, last_contrib, built,
     )
-    res = (mean2d, depth, conic, rgb, opacity, radius, valid, bg, t_final, last_contrib)
     return (img, overflow), res
 
 
 def _core_bwd(width, height, max_instances, chunk, backend, res, cotangents):
-    (mean2d, depth, conic, rgb, opacity, radius, valid, bg, t_final, last_contrib) = res
-    d_img, _d_overflow = cotangents
-    d_mean2d, d_conic, d_rgb, d_opac = _backward(
+    (
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-        width, height, max_instances, chunk,
-        t_final, last_contrib, d_img,
-    )
+        t_final, last_contrib, built,
+    ) = res
+    d_img, _d_overflow = cotangents
+    if backend == "pallas":
+        d_mean2d, d_conic, d_rgb, d_opac = _backward_pallas_host(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+            t_final, last_contrib, d_img, built,
+        )
+    else:
+        d_mean2d, d_conic, d_rgb, d_opac = _backward(
+            mean2d, depth, conic, rgb, opacity, radius, valid, bg,
+            width, height, max_instances, chunk,
+            t_final, last_contrib, d_img,
+        )
     # bg gradient: sum over pixels of T_final * dC (flows into training loss
     # only when bg is a traced input; reference treats bg as constant)
     tiles_x = -(-width // TILE)
