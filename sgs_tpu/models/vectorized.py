@@ -89,6 +89,7 @@ def pca_project(
     mean = x.mean(axis=0) if mean is None else mean
     x = x - mean[None, :]
     if std is not None:
+        std = np.maximum(std, 1e-12)  # constant dims (e.g. zero SH bands)
         x = x / std[None, :]
     cov = x.T @ x
     evals, evecs = np.linalg.eigh(cov)

@@ -91,6 +91,7 @@ def training(
     save_cfg_args(model_path, dataset)
     tsv = open(os.path.join(model_path, "losses.tsv"), "w")
     tsv.write("iteration\ttest_l1\ttest_psnr\tnum_gaussians\n")
+    tb = _make_tb_writer(model_path)
 
     pool = scene.pool
     adam = AdamState.init(pool.params())
@@ -173,6 +174,9 @@ def training(
 
         loss_val = float(metrics["loss"])
         ema_loss = 0.4 * loss_val + 0.6 * ema_loss
+        if tb is not None and iteration % log_every == 0:
+            tb.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
+            tb.add_scalar("train_loss_patches/total_loss", loss_val, iteration)
         if progress is not None and iteration % log_every == 0:
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
             progress.update(log_every)
@@ -182,7 +186,7 @@ def training(
             training_report(
                 tsv, iteration, scene, state.pool, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
-                backend=raster_backend,
+                backend=raster_backend, tb=tb,
             )
 
         if iteration in saving_iterations:
@@ -246,6 +250,8 @@ def training(
     if progress is not None:
         progress.close()
     tsv.close()
+    if tb is not None:
+        tb.close()
     elapsed = time.time() - t_start
     iters = opt.iterations - first_iter
     if iters > 0:
@@ -254,9 +260,21 @@ def training(
     return state
 
 
+def _make_tb_writer(model_path: str):
+    """Optional tensorboard writer (reference train.py:166-172)."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(model_path)
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+        return None
+
+
 def training_report(
     tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color,
     mode: str = "reference", max_instances: int = 0, backend: str = "xla",
+    tb=None,
 ) -> None:
     """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row."""
     train_cams = scene.getTrainCameras()
@@ -293,3 +311,19 @@ def training_report(
         if config["name"] == "test" and tsv is not None:
             tsv.write(f"{iteration}\t{l1_avg}\t{psnr_avg}\t{n_gaussians}\n")
             tsv.flush()
+        if tb is not None:
+            tb.add_scalar(
+                config["name"] + "/loss_viewpoint - l1_loss", l1_avg, iteration
+            )
+            tb.add_scalar(
+                config["name"] + "/loss_viewpoint - psnr", psnr_avg, iteration
+            )
+    if tb is not None:
+        import numpy as _np
+
+        tb.add_histogram(
+            "scene/opacity_histogram",
+            _np.asarray(pool.get_opacity)[_np.asarray(pool.alive)],
+            iteration,
+        )
+        tb.add_scalar("total_points", n_gaussians, iteration)

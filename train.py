@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=save_iters)
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the first "
+                             "~20 iterations to this directory")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -65,11 +68,19 @@ def main(argv=None):
 
     from sgs_tpu.train.trainer import training
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     training(
         dataset, opt, pipe,
         args.test_iterations, args.save_iterations, args.checkpoint_iterations,
         args.start_checkpoint,
     )
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     print("\nTraining complete.")
 
 
