@@ -5,7 +5,7 @@ policy (/root/reference/utils/camera_utils.py:19-60) and camera JSON dump.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

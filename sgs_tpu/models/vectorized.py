@@ -12,11 +12,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from sgs_tpu.core import transforms
 from sgs_tpu.models.gaussians import GaussianPool
 
 

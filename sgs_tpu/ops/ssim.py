@@ -7,7 +7,6 @@ C1 = 0.01^2, C2 = 0.03^2, mean over the full (padded-edge-included) map.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

@@ -13,8 +13,6 @@ is exactly the single-chip train_step math.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from sgs_tpu.core.camera import Camera
-from sgs_tpu.models.gaussians import DensifyStats, GaussianPool
+from sgs_tpu.models.gaussians import DensifyStats
 from sgs_tpu.ops.ssim import l1_loss, ssim
 from sgs_tpu.render.pipeline import render
 from sgs_tpu.train.loop import TrainState

@@ -15,8 +15,6 @@ Constraints: the image height is padded so every band is a whole number of
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

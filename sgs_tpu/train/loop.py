@@ -13,7 +13,6 @@ active SH degree (4 values over a run).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,12 +19,11 @@ from __future__ import annotations
 import os
 import random
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sgs_tpu.models.densify import densify_and_prune, reset_opacity
 from sgs_tpu.models.gaussians import DensifyStats, GaussianPool, PARAM_FIELDS

@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 from argparse import ArgumentParser, Namespace
 from dataclasses import dataclass, field, fields
-from typing import Optional
 
 
 @dataclass

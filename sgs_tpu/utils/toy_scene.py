@@ -11,7 +11,6 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
