@@ -64,18 +64,17 @@ def pack_chunked_instances(
     chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
     rows_used = chunk_row_start[-1] + n_chunks[-1] if num_tiles else 0
 
-    # GATHER formulation (TPU scatters are slow): for every padded slot
-    # (chunk row r, lane l) find its source instance in the sorted order.
-    live = tile_sorted < num_tiles
-    attrs_sorted = jnp.stack(
+    # GATHER formulation (TPU scatters are slow), with WIDE rows: nine
+    # separate 1D scalar gathers cost ~18x more than one (N, 16) row
+    # gather, so attributes are packed into a per-Gaussian record matrix
+    # first and every padded slot gathers one 64-byte row.
+    attr_matrix = jnp.concatenate(
         [
-            mean2d[g_sorted, 0], mean2d[g_sorted, 1],
-            conic[g_sorted, 0], conic[g_sorted, 1], conic[g_sorted, 2],
-            opacity[g_sorted] * live.astype(f32),
-            rgb[g_sorted, 0], rgb[g_sorted, 1], rgb[g_sorted, 2],
+            mean2d, conic, opacity[:, None], rgb,
+            jnp.zeros((opacity.shape[0], REC - 9), f32),
         ],
-        axis=0,
-    ).astype(f32)  # (9, M)
+        axis=1,
+    ).astype(f32)  # (N, REC)
 
     rowv = jnp.arange(max_chunk_rows, dtype=jnp.int32)
     # tile owning chunk row r (rows past rows_used map to the last tile and
@@ -89,17 +88,14 @@ def pack_chunked_instances(
         tile_start[row_tile][:, None]
         + (rowv - chunk_row_start[row_tile])[:, None] * CHUNK
         + lanes[None, :]
-    )  # (R, CHUNK)
+    )  # (R, CHUNK) -> index into the sorted instance order
     slot_ok = (rowv[:, None] < rows_used) & (src < tile_end[row_tile][:, None])
     src = jnp.clip(src, 0, m - 1)
-    packed = jnp.where(
-        slot_ok[None, :, :], attrs_sorted[:, src], 0.0
-    )  # (9, R, CHUNK)
-    packed = jnp.concatenate(
-        [packed, jnp.zeros((REC - 9, max_chunk_rows, CHUNK), f32)], axis=0
-    )
-    # (REC, R, CHUNK) -> (R, REC, CHUNK) -> (R*REC, CHUNK)
-    packed = packed.transpose(1, 0, 2).reshape(max_chunk_rows * REC, CHUNK)
+    g_slot = g_sorted[src]  # (R, CHUNK)
+    rows = jnp.where(
+        slot_ok[:, :, None], attr_matrix[g_slot], 0.0
+    )  # (R, CHUNK, REC)
+    packed = rows.transpose(0, 2, 1).reshape(max_chunk_rows * REC, CHUNK)
     return packed, chunk_row_start, n_chunks, tile_start
 
 

@@ -337,10 +337,15 @@ def _backward_pallas_host(
     inv = jnp.argsort(perm)  # generation order -> sorted position
     slot_gen = slot_sorted[inv]
     live_gen = live_sorted[inv]
-    row = slot_gen // ptr.CHUNK
-    lane = slot_gen % ptr.CHUNK
-    ch = jnp.arange(9, dtype=jnp.int32)
-    vals = padgrad[row[:, None] * ptr.GREC + ch[None, :], lane[:, None]]
+    # slot-major rows so each instance's 9 grads are one contiguous gather
+    # (scalar gathers are ~18x slower on TPU)
+    rows_total = padgrad.shape[0] // ptr.GREC
+    pad_rows = (
+        padgrad.reshape(rows_total, ptr.GREC, ptr.CHUNK)
+        .transpose(0, 2, 1)
+        .reshape(rows_total * ptr.CHUNK, ptr.GREC)
+    )
+    vals = pad_rows[jnp.clip(slot_gen, 0, rows_total * ptr.CHUNK - 1)][:, :9]
     vals = jnp.where(live_gen[:, None], vals, 0.0)
 
     # generation-order instances are contiguous per depth-ranked gaussian
