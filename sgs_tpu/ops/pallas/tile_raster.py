@@ -104,10 +104,8 @@ def _forward_kernel(
     chunk_row_ref, n_chunks_ref, tile_start_ref, tiles_x_ref,
     # inputs
     inst_hbm,  # (R*REC, CHUNK) in ANY/HBM
-    # outputs (blocked per tile)
-    color_ref,  # (1, 256, 3)
-    tfinal_ref,  # (1, 256, OUT_PAD)
-    lastc_ref,  # (1, 256, OUT_PAD) int32
+    # output (blocked per tile): [r, g, b, t_final, last_contrib, pad...]
+    out_ref,  # (1, 256, OUT_PAD) f32
     # scratch
     buf,  # (2, REC, CHUNK) VMEM
     sems,  # (2,) DMA semaphores
@@ -125,9 +123,8 @@ def _forward_kernel(
     px = tx + jax.lax.rem(p_idx, TILE).astype(jnp.float32)  # (256, CHUNK)
     py = ty + (p_idx // TILE).astype(jnp.float32)
 
-    color_ref[...] = jnp.zeros((1, TILE_PIXELS, 3), jnp.float32)
-    tfinal_ref[...] = jnp.ones((1, TILE_PIXELS, OUT_PAD), jnp.float32)
-    lastc_ref[...] = jnp.zeros((1, TILE_PIXELS, OUT_PAD), jnp.int32)
+    out_ref[...] = jnp.zeros((1, TILE_PIXELS, OUT_PAD), jnp.float32)
+    out_ref[0, :, 3:4] = jnp.ones((TILE_PIXELS, 1), jnp.float32)  # t_final
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -196,25 +193,21 @@ def _forward_kernel(
             )
             w = jnp.where(include, t_row * cp_prev * a, 0.0)  # (256, CHUNK)
             # color += w @ rgb^T : contract instance lanes on the MXU
-            color_ref[0] += jax.lax.dot_general(
+            out_ref[0, :, 0:3] += jax.lax.dot_general(
                 w, rgb_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            # last contributor position (unpadded sorted order, +1)
-            pos = tstart + i * CHUNK + lane + 1
+            # background transmittance = last surviving inclusive product
+            tf_val = jnp.min(jnp.where(include, s, 1.0), axis=1, keepdims=True)
+            out_ref[0, :, 3:4] = jnp.minimum(out_ref[0, :, 3:4], tf_val)
+            # last contributor position (unpadded sorted order, +1);
+            # positions < 2^24 are exact in f32
+            pos = (tstart + i * CHUNK + lane + 1).astype(jnp.float32)
             lastc_val = jnp.max(
-                jnp.where(include, pos, 0), axis=1, keepdims=True
-            )  # (256, 1)
-            lastc_ref[0] = jnp.maximum(
-                lastc_ref[0], jnp.broadcast_to(lastc_val, (TILE_PIXELS, OUT_PAD))
+                jnp.where(include, pos, 0.0), axis=1, keepdims=True
             )
-            tf_val = jnp.min(
-                jnp.where(include, s, 1.0), axis=1, keepdims=True
-            )
-            tfinal_ref[0] = jnp.minimum(
-                tfinal_ref[0], jnp.broadcast_to(tf_val, (TILE_PIXELS, OUT_PAD))
-            )
+            out_ref[0, :, 4:5] = jnp.maximum(out_ref[0, :, 4:5], lastc_val)
             # carry the FULL product: once below eps it can never recover
             # (u <= 1) — exactly the CUDA done-latch
             t_new = s[:, CHUNK - 1 : CHUNK]  # (256, 1)
@@ -250,8 +243,6 @@ def forward_pallas(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, TILE_PIXELS, 3), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_PIXELS, OUT_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_PIXELS, OUT_PAD), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -259,20 +250,18 @@ def forward_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    colors, t_final, last_contrib = pl.pallas_call(
+    (out,) = pl.pallas_call(
         _forward_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, 3), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, OUT_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, TILE_PIXELS, OUT_PAD), jnp.int32),
         ],
         interpret=interpret,
     )(
         chunk_row_start, n_chunks, tile_start,
         jnp.asarray([tiles_x], jnp.int32), packed,
     )
-    return colors, t_final[:, :, 0], last_contrib[:, :, 0]
+    return out[:, :, 0:3], out[:, :, 3], out[:, :, 4].astype(jnp.int32)
 
 
 def tile_ranges(tile_sorted: jnp.ndarray, num_tiles: int):
