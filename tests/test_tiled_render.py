@@ -157,3 +157,30 @@ def test_tiled_empty_scene():
         np.broadcast_to(np.asarray([0.1, 0.5, 0.9])[:, None, None], (3, 17, 33)),
         rtol=1e-6,
     )
+
+
+def test_determinism_bit_exact():
+    """The CUDA rasterizer's atomics make its backward nondeterministic;
+    the JAX design is deterministic by construction — assert it
+    (SURVEY.md §5 race-detection note)."""
+    cam = make_camera()
+    scene = random_scene(100, seed=13)
+    bg = jnp.zeros(3)
+    target = np.random.default_rng(14).uniform(size=(3, 64, 80)).astype(np.float32)
+
+    def run():
+        def loss(m, s, q, o, c):
+            out = render(cam, inputs_of(m, s, q, o, c), bg, mode="tiled")
+            return jnp.mean(jnp.abs(out["render"] - target)), out["render"]
+
+        (l, img), grads = jax.value_and_grad(
+            lambda *a: loss(*a), argnums=(0, 3), has_aux=True
+        )(*(jnp.asarray(x) for x in scene))
+        return l, img, grads
+
+    l1, img1, g1 = run()
+    l2, img2, g2 = run()
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
