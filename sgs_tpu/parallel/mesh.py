@@ -35,17 +35,18 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
-def make_hybrid_mesh(
-    ici_per_host: int, axis_names: Sequence[str] = ("data",)
-) -> Mesh:
-    """Multi-host mesh: DCN axis outer, ICI axis inner, so collectives on
-    the trailing axes ride ICI (scaling-book recipe)."""
+def make_hybrid_mesh(axis_names: Sequence[str] = ("data", "gauss")) -> Mesh:
+    """Multi-host 2D mesh: the first axis spans hosts over DCN, the second
+    spans each host's chips over ICI — so the heavy splat-record
+    all_gather (gauss axis) rides ICI while the lighter camera-batch
+    gradient reduction (data axis) crosses DCN (scaling-book recipe)."""
     from jax.experimental.mesh_utils import create_hybrid_device_mesh
 
     n_hosts = jax.process_count()
-    mesh_shape = (n_hosts, ici_per_host)
+    local = jax.local_device_count()
+    if n_hosts == 1:
+        return make_mesh((1, local), axis_names)
     dev = create_hybrid_device_mesh(
-        mesh_shape=(ici_per_host,),
-        dcn_mesh_shape=(n_hosts,),
+        mesh_shape=(1, local), dcn_mesh_shape=(n_hosts, 1)
     )
-    return Mesh(dev.reshape(-1), axis_names)
+    return Mesh(dev, axis_names)
