@@ -226,7 +226,9 @@ def training(
                           "densified Gaussians (pool full)")
                 if raster_mode == "tiled":
                     new_bucket = instance_bucket(state.pool, cam.camera)
-                    if new_bucket != max_instances:
+                    # hysteresis: grow immediately, shrink only on a 4x
+                    # drop (every bucket change recompiles the train step)
+                    if new_bucket > max_instances or new_bucket * 4 <= max_instances:
                         print(f"\n[ITER {iteration}] instance bucket "
                               f"{max_instances} -> {new_bucket}")
                         max_instances = new_bucket
