@@ -56,6 +56,8 @@ def make_dp_train_step(
     lambda_dssim: float = 0.2,
     freeze_xyz: bool = False,
     axis: str = "data",
+    mode: str = "tiled",
+    max_instances: int = 0,
 ):
     """Build a jitted sharded train step.
 
@@ -69,7 +71,10 @@ def make_dp_train_step(
         def one_camera(camera, gt, tap):
             def loss_fn(p, t):
                 pool_like = _InputBundle(p, alive, active_sh_degree)
-                out = render(camera, pool_like.render_inputs(), bg, vspace_tap=t)
+                out = render(
+                    camera, pool_like.render_inputs(), bg, vspace_tap=t,
+                    mode=mode, max_instances=max_instances or None,
+                )
                 image = out["render"]
                 ll1 = l1_loss(image, gt)
                 loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
