@@ -136,11 +136,23 @@ def training_lgm(
     bg_color = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0], jnp.float32
     )
+    from sgs_tpu.viewer import network_gui
+
     train_cams = scene.getTrainCameras()
     viewpoint_stack: list = []
     ema_loss = 0.0
     t0 = time.time()
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        network_gui.serve(
+            lambda cam, sm: jnp.clip(
+                render(
+                    cam,
+                    model.with_params(params).render_inputs(active_sh_degree),
+                    bg_color, scaling_modifier=sm,
+                )["render"], 0.0, 1.0,
+            ),
+            dataset.source_path, iteration, opt.iterations,
+        )
         if not viewpoint_stack:
             viewpoint_stack = list(train_cams)
         cam = viewpoint_stack.pop(py_rng.randint(0, len(viewpoint_stack) - 1))

@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 import random
 import time
-from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
@@ -40,14 +39,6 @@ from sgs_tpu.utils.config import (
 
 GROW_FREE_FRACTION = 0.2  # regrow when free slots < 20% of capacity
 GROW_FACTOR = 2.0
-
-
-@dataclass
-class TrainHooks:
-    """Optional callbacks for GUI serving / custom logging."""
-
-    pre_iteration: Optional[callable] = None  # (iteration, pool) -> None
-    post_report: Optional[callable] = None
 
 
 def grow_state(state: TrainState, new_capacity: int) -> TrainState:
@@ -137,8 +128,19 @@ def training(
         except ImportError:
             progress = None
 
+    from sgs_tpu.viewer import network_gui
+
     t_start = time.time()
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        network_gui.serve(
+            lambda cam, sm: eval_render(
+                state.pool, cam, bg_color, active_sh_degree,
+                mode=raster_mode, max_instances=max_instances,
+                backend=raster_backend,
+            ),
+            dataset.source_path, iteration, opt.iterations,
+        )
+
         if iteration % 1000 == 0 and active_sh_degree < dataset.sh_degree:
             active_sh_degree += 1
 

@@ -117,3 +117,29 @@ def disconnect() -> None:
         except OSError:
             pass
         conn = None
+
+
+def serve(render_cb, source_path: str, iteration: int, max_iterations: int) -> None:
+    """Inline per-iteration GUI serving — the reference's poll loop
+    (train_lgm.py:73-87): accept a pending viewer connection, answer render
+    requests until the viewer releases the training loop.
+
+    render_cb(camera, scaling_modifier) -> (3, H, W) float image.
+    No-op unless init() was called.
+    """
+    global conn
+    if listener is None:
+        return
+    if conn is None:
+        try_connect()
+    while conn is not None:
+        try:
+            cam, do_training, _shs_py, _rs_py, keep_alive, scaling_mod = receive()
+            image_bytes = None
+            if cam is not None:
+                image_bytes = image_to_bytes(render_cb(cam, scaling_mod))
+            send(image_bytes, source_path)
+            if do_training and (iteration < max_iterations or not keep_alive):
+                break
+        except Exception:
+            conn = None

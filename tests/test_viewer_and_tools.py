@@ -118,3 +118,62 @@ def test_analyze_cli(tiny_model, tmp_path):
     assert os.path.exists(
         os.path.join(out + "_ply_unnorm", "point_cloud.ply")
     )
+
+
+def test_network_gui_serve_loop():
+    """serve() (the trainers' per-iteration poll) answers a render request
+    then releases the loop when training is allowed to continue."""
+    from sgs_tpu.viewer import network_gui
+
+    network_gui.init("127.0.0.1", 0)
+    port = network_gui.listener.getsockname()[1]
+    view = np.eye(4, dtype=np.float32)
+    msg = {
+        "resolution_x": 16, "resolution_y": 16, "train": 1,
+        "fov_x": 1.0, "fov_y": 1.0, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": 0, "rot_scale_python": 0, "keep_alive": 0,
+        "scaling_modifier": 0.5,
+        "view_matrix": view.ravel().tolist(),
+        "view_projection_matrix": view.ravel().tolist(),
+    }
+    got = {}
+
+    def client():
+        c = socket.create_connection(("127.0.0.1", port), timeout=5)
+        payload = json.dumps(msg).encode()
+        c.sendall(len(payload).to_bytes(4, "little") + payload)
+        img = b""
+        while len(img) < 16 * 16 * 3:
+            img += c.recv(16 * 16 * 3 - len(img))
+        got["image"] = img
+        ln = int.from_bytes(c.recv(4), "little")
+        got["path"] = c.recv(ln).decode()
+        c.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+
+    calls = {}
+
+    def render_cb(cam, scaling_modifier):
+        calls["cam"] = cam
+        calls["sm"] = scaling_modifier
+        return np.full((3, cam.image_height, cam.image_width), 0.5, np.float32)
+
+    import time
+
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        network_gui.serve(render_cb, "/src/scene", iteration=1, max_iterations=10)
+        if "image" in got:
+            break
+        time.sleep(0.05)
+    th.join(timeout=5)
+    assert got["path"] == "/src/scene"
+    assert calls["sm"] == 0.5
+    assert calls["cam"].image_width == 16
+    assert len(got["image"]) == 16 * 16 * 3
+    assert got["image"][0] == 127  # 0.5 * 255
+    network_gui.disconnect()
+    network_gui.listener.close()
+    network_gui.listener = None
