@@ -28,12 +28,18 @@ LGM_LR = 1.0e-3 / 2
 LGM_EPS = 1e-15
 
 
-def make_lgm_train_step(lambda_dssim: float, active_sh_degree: int, optimizer):
+def make_lgm_train_step(
+    lambda_dssim: float, active_sh_degree: int, optimizer,
+    mode: str = "tiled", max_instances: int = 0,
+):
     @jax.jit
     def step(params, opt_state, static_model, camera, gt_image, bg):
         def loss_fn(p):
             model = static_model.with_params(p)
-            out = render(camera, model.render_inputs(active_sh_degree), bg)
+            out = render(
+                camera, model.render_inputs(active_sh_degree), bg,
+                mode=mode, max_instances=max_instances or None,
+            )
             image = out["render"]
             ll1 = l1_loss(image, gt_image)
             loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (1 - ssim(image, gt_image))
@@ -131,7 +137,39 @@ def training_lgm(
     opt_state = optimizer.init(params)
     active_sh_degree = dataset.sh_degree
 
-    step_fn = make_lgm_train_step(opt.lambda_dssim, active_sh_degree, optimizer)
+    # instance bucket for the tiled rasterizer: the LGM never densifies
+    # and splats mostly shrink during fitting, so a modest 1.5x headroom
+    # over the (typically fat) initial footprint holds for the whole run
+    raster_mode = getattr(pipe, "rasterizer", "tiled")
+    raster_backend = getattr(pipe, "raster_backend", "xla")
+    max_instances = 0
+    if raster_mode == "tiled":
+        import math as _math
+
+        from sgs_tpu.core.projection import project_gaussians
+        from sgs_tpu.render.tiled import instance_count
+
+        gi = model.render_inputs(active_sh_degree)
+        cam0 = scene.getTrainCameras()[0].camera
+        from sgs_tpu.core import transforms as _tr
+
+        cov3d = _tr.build_covariance(gi.scales, gi.rotations)
+        proj = project_gaussians(
+            gi.means3d, cov3d, cam0.world_view_transform,
+            cam0.full_proj_transform, cam0.tanfovx, cam0.tanfovy,
+            cam0.image_width, cam0.image_height,
+        )
+        total = int(instance_count(
+            proj["mean2d"], proj["radius"], proj["radius"] > 0,
+            cam0.image_width, cam0.image_height,
+        ))
+        max_instances = 1 << _math.ceil(_math.log2(max(4096, int(total * 1.5))))
+        print(f"instance capacity bucket: {max_instances}")
+
+    step_fn = make_lgm_train_step(
+        opt.lambda_dssim, active_sh_degree, optimizer,
+        mode=raster_mode, max_instances=max_instances,
+    )
 
     bg_color = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0], jnp.float32
@@ -149,6 +187,7 @@ def training_lgm(
                     cam,
                     model.with_params(params).render_inputs(active_sh_degree),
                     bg_color, scaling_modifier=sm,
+                    mode=raster_mode, max_instances=max_instances or None,
                 )["render"], 0.0, 1.0,
             ),
             dataset.source_path, iteration, opt.iterations,
@@ -172,7 +211,10 @@ def training_lgm(
 
         if iteration in testing_iterations:
             model_now = model.with_params(params)
-            report_lgm(iteration, scene, model_now, active_sh_degree, bg_color)
+            report_lgm(
+                iteration, scene, model_now, active_sh_degree, bg_color,
+                mode=raster_mode, max_instances=max_instances,
+            )
 
         if iteration in saving_iterations:
             model_now = model.with_params(params)
@@ -200,7 +242,8 @@ def training_lgm(
     return model.with_params(params)
 
 
-def report_lgm(iteration, scene, model, active_sh_degree, bg_color):
+def report_lgm(iteration, scene, model, active_sh_degree, bg_color,
+               mode="tiled", max_instances=0):
     for name, cams in (
         ("test", scene.getTestCameras()),
         ("train", scene.getTrainCameras()[:8]),
@@ -210,7 +253,10 @@ def report_lgm(iteration, scene, model, active_sh_degree, bg_color):
         l1s, psnrs = [], []
         inputs = model.render_inputs(active_sh_degree)
         for cam in cams:
-            out = render(cam.camera, inputs, bg_color)
+            out = render(
+                cam.camera, inputs, bg_color,
+                mode=mode, max_instances=max_instances or None,
+            )
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
             l1s.append(float(l1_loss(img, gt)))
