@@ -41,6 +41,12 @@ class ModelParams:
 
 @dataclass
 class PipelineParams:
+    # convert_SHs_python / compute_cov3D_python were the reference's
+    # PyTorch-vs-CUDA numerical cross-check escape hatches
+    # (gaussian_renderer/__init__.py:62-78). Here ALL math is JAX, so they
+    # are accepted no-ops; the cross-check role is played by
+    # rasterizer="reference" (the pure-jnp oracle the tiled/Pallas paths
+    # are tested against to allclose).
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     no_tqdm: bool = False
