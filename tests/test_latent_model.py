@@ -197,6 +197,7 @@ def test_lgm_fit_vector_target():
     assert losses[-1] < 0.55 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_lgm_e2e_render_training(tmp_path):
     """Train the LGM on a rendered toy scene end-to-end (train_lgm path)."""
     from sgs_tpu.utils.toy_scene import make_blender_dataset

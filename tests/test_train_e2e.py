@@ -37,6 +37,7 @@ def test_blender_loader_roundtrip(toy_dataset):
     assert os.path.exists(os.path.join(src, "points3d.ply"))
 
 
+@pytest.mark.slow
 def test_training_improves_psnr(toy_dataset, tmp_path):
     src, _ = toy_dataset
     from sgs_tpu.data.scene import Scene
