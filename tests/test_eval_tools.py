@@ -148,3 +148,30 @@ def test_lpips_gated():
             import jax.numpy as jnp
 
             lpips(jnp.zeros((3, 32, 32)), jnp.zeros((3, 32, 32)))
+
+
+def test_convert_cli_missing_colmap(tmp_path):
+    """convert.py exits cleanly with guidance when COLMAP isn't installed."""
+    import convert
+
+    with pytest.raises(SystemExit) as e:
+        convert.main(["-s", str(tmp_path), "--colmap_executable",
+                      "definitely_not_colmap_xyz"])
+    assert e.value.code == 1
+
+
+def test_full_eval_metrics_only(trained_model, tmp_path, monkeypatch):
+    """full_eval.py's metrics stage drives metrics.py over the scene list."""
+    import full_eval
+
+    calls = []
+    monkeypatch.setattr(full_eval, "run", lambda cmd: calls.append(cmd))
+    full_eval.main([
+        "--skip_training", "--skip_rendering", "--output_path", str(tmp_path)
+    ])
+    assert len(calls) == 1
+    assert "metrics.py" in calls[0][1]
+    # all 13 benchmark scenes enumerated
+    assert sum("bicycle" in c or "truck" in c or "playroom" in c
+               for c in calls[0]) >= 3
+    assert len(calls[0]) == 3 + 13  # python metrics.py -m + 13 scene dirs
