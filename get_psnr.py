@@ -69,18 +69,11 @@ def main(argv=None):
     tsv = open(os.path.join(dataset.model_path, "losses.tsv"), "w")
     tsv.write("iteration\ttest_l1\ttest_psnr\tnum_gaussians\n")
 
-    # evaluate over ALL train cameras too (reference uses the full lists)
-    class AllCams:
-        def __init__(self, scene):
-            self._s = scene
-
-        def getTrainCameras(self):
-            return self._s.getTrainCameras()
-
-        def getTestCameras(self):
-            return self._s.getTestCameras()
-
-    training_report(tsv, iteration, AllCams(scene), pool, active_sh_degree, bg)
+    # full_train_set: the reference's get_psnr.py:198-201 evaluates the
+    # WHOLE train list (unlike train.py's range(5,30) subsample)
+    training_report(
+        tsv, iteration, scene, pool, active_sh_degree, bg, full_train_set=True
+    )
     tsv.close()
     print("Done.")
 

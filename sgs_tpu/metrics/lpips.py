@@ -36,8 +36,11 @@ _VGG16_PLAN = [
 # taps AFTER relu of these conv indices (relu1_2, 2_2, 3_3, 4_3, 5_3)
 _VGG16_TAPS = [1, 3, 6, 9, 12]
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# richzhang scaling-layer constants, applied to [0,1] images exactly like
+# the reference (lpipsPyTorch/modules/networks.py:41-44 z_score; the repo
+# feeds [0,1] tensors at metrics.py:74)
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 DEFAULT_WEIGHTS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -70,8 +73,8 @@ def _load_weights(weights_path: Optional[str]) -> dict:
 
 def _vgg_features(x: jnp.ndarray, w: dict):
     """x: (B, 3, H, W) in [0,1]. Returns list of tap activations."""
-    mean = jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
-    std = jnp.asarray(_IMAGENET_STD).reshape(1, 3, 1, 1)
+    mean = jnp.asarray(_LPIPS_SHIFT).reshape(1, 3, 1, 1)
+    std = jnp.asarray(_LPIPS_SCALE).reshape(1, 3, 1, 1)
     x = (x - mean) / std
     feats = []
     for i, (_, pool_before) in enumerate(_VGG16_PLAN):
@@ -94,7 +97,9 @@ def _vgg_features(x: jnp.ndarray, w: dict):
 @partial(jax.jit, static_argnames=())
 def _lpips_jit(x, y, w_list, lin_list):
     def normalize(f):
-        return f / jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True) + 1e-10)
+        # eps ADDED to the norm, not under the sqrt — exact reference
+        # semantics (lpipsPyTorch/modules/utils.py:6-8)
+        return f / (jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True)) + 1e-10)
 
     total = 0.0
     fx = _vgg_features(x, w_list)

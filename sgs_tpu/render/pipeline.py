@@ -104,7 +104,7 @@ def render(
 
         if max_instances is None:
             max_instances = -(-8 * n // 1024) * 1024
-        image, _overflow = rasterize_tiled(
+        image, overflow = rasterize_tiled(
             mean2d,
             proj["depth"],
             proj["conic"],
@@ -119,6 +119,7 @@ def render(
             backend=backend,
         )
     elif mode == "reference":
+        overflow = jnp.int32(0)
         image = reference.rasterize_sorted(
             mean2d,
             proj["depth"],
@@ -143,4 +144,8 @@ def render(
         "viewspace_points": vspace_tap,
         "visibility_filter": radii > 0,
         "radii": radii,
+        # instances dropped by the static capacity this view (0 = exact
+        # render). Callers must surface this — silent truncation is a
+        # quality bug (tiled mode only; the oracle never overflows).
+        "overflow": overflow,
     }

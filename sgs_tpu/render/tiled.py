@@ -1,33 +1,35 @@
 """Production tiled rasterizer — CUDA-pipeline binning, TPU-shaped compute.
 
 Reproduces diff-gaussian-rasterization's binning + per-tile compositing
-(SURVEY.md §2.9 steps 2-4) with static shapes:
+(SURVEY.md §2.9 steps 2-4; call sites /root/reference/gaussian_renderer/
+__init__.py:51-100) with static shapes and, crucially, with NO per-element
+scatters or scalar gathers at instance scale — the two op classes the TPU
+executes 100-200x slower than everything else (see PERF_NOTES.md):
 
-  1. Per-Gaussian 16x16-tile rects -> instance expansion WITHOUT dynamic
-     scatter: instance i finds its Gaussian via searchsorted over the
-     exclusive-cumsum offsets (vectorized).
-  2. Stable lexicographic sort on (tile_id, depth) with the Gaussian id as
-     payload — the radix-sort equivalent.
-  3. Forward: instance-major chunked compositing. A lax.scan walks the
-     sorted instances in chunks; a segmented cumulative product
-     (associative_scan over boundary flags) resolves per-pixel
-     transmittance, seeded by the carry of the chunk-spanning "open" tile;
-     weighted colors scatter-add into a (T, 256, 3) tile-pixel buffer.
-     Also records per-pixel final transmittance and last-contributor
-     position — the CUDA forward's n_contrib/final_T bookkeeping.
-  4. Backward: custom_vjp. Differentiating through the forward scan would
-     store the full accumulation carry per chunk (O(chunks * tiles * 256)
-     — hundreds of GB at 1080p), so instead the backward re-walks the
-     sorted instances BACK-TO-FRONT like the CUDA backward.cu: recompute
-     alpha, recover each contributor's pre-compositing transmittance by
-     division from the stored final value, maintain the suffix color sum,
-     and scatter per-Gaussian gradients. Cutoffs (1/255 floor, 0.99 clamp,
-     rect) gate gradients exactly as autodiff of the forward would.
+  1. Gaussians are depth-sorted once at N scale; per-Gaussian rect fields
+     (min_x, min_y, rect_w) are packed into int32 words under the depth
+     rank's high bits, scattered at each run start, and a `cummax` fills
+     the runs — instance i recovers its Gaussian and its rect coordinates
+     from pure elementwise arithmetic, replacing round 1's six M-sized
+     scalar gathers (~90 ms at 1.24M instances).
+  2. ONE stable single-int32-key `lax.sort` (XLA's radix path, ~0.5 ms at
+     1.5M keys) groups instances by tile, carrying only the depth rank.
+     Per-tile depth order falls out of stability.
+  3. Forward/backward compositing runs in the flat Pallas kernels
+     (sgs_tpu/ops/pallas/flat_raster.py) over a chunk-padded tile-major
+     row layout; per-Gaussian gradients come back through a second cheap
+     1-key sort + contiguous segment-sum (flat_raster.reduce_grads).
+
+The "xla" backend keeps the instance-major lax.scan compositor as a
+slower self-contained oracle for tests; both backends share the same
+binning and the same custom-VJP wrapper.  Backward re-walks back-to-front
+like the CUDA backward.cu (differentiating through the forward scan would
+store O(P*N) carries — hundreds of GB at 1080p).
 
 Termination semantics are EXACT vs CUDA: along a tile's depth-ordered
-list transmittance is monotone non-increasing, so "include instance i iff
-its inclusive transmittance product stays >= 1e-4" reproduces the
-sequential test-before-composite latch.
+list the full running product of (1 - alpha) is monotone non-increasing,
+so "include instance i iff the inclusive product stays >= 1e-4"
+reproduces the sequential test-before-composite latch.
 
 Instance capacity is a static arg; callers size it from a cheap count
 pre-pass (instance_count) rounded up to a bucket so recompiles stay rare.
@@ -97,53 +99,103 @@ def _segmented_cumsum(x: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
 
 
 def _build_instances(mean2d, depth, radius, valid, width, height, max_instances):
-    """Binning: rects -> instance expansion -> (tile, depth)-sorted arrays."""
+    """Binning: rects -> gather-free instance expansion -> tile-sorted ids.
+
+    Returns (tile_sorted (M,), gi_sorted (M,) depth-rank ids, order (N,)
+    depth rank -> original Gaussian index, overflow, num_tiles, tiles_x,
+    tiles_y).  The only instance-scale ops are elementwise arithmetic,
+    two cummax fills, and one single-key stable int32 sort.
+    """
     n = mean2d.shape[0]
     f32 = jnp.float32
+    i32 = jnp.int32
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
+    m = max_instances
 
     ok = valid & (radius > 0)
     min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
     rect_w = max_x - min_x
     counts = jnp.where(ok, rect_w * (max_y - min_y), 0)
 
-    # Pre-sort GAUSSIANS by depth (N-sized, cheap) so instances are emitted
-    # in global depth order; the big M-sized sort then needs only the tile
-    # id as key (stable => per-tile depth order preserved). Equal depths
-    # fall back to Gaussian id order exactly like a (tile, depth) 2-key
-    # stable sort would.
+    # Depth-sort GAUSSIANS (N-sized) so instances are emitted in global
+    # depth order; the M-sized sort then needs only the tile id as key
+    # (stable => per-tile depth order preserved), exactly like a
+    # (tile, depth) 2-key stable sort would produce.
     depth_key = jnp.where(ok, depth.astype(f32), jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)  # (N,)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=i32)), num_keys=1, is_stable=True
+    )
     counts_o = counts[order]
     offsets_o = jnp.cumsum(counts_o) - counts_o  # exclusive
     total = offsets_o[-1] + counts_o[-1]
-    overflow = jnp.maximum(total - max_instances, 0)
+    overflow = jnp.maximum(total - m, 0)
 
-    m = max_instances
-    inst = jnp.arange(m, dtype=jnp.int32)
-    # instance -> (depth-ranked) gaussian WITHOUT searchsorted (a binary
-    # search costs ~17 gathered loads per instance on TPU): scatter each
-    # gaussian's depth-rank at its run start, then cummax fills the runs.
-    # Zero-count gaussians share their successor's offset; .max keeps the
-    # largest rank, which is the run's true owner.
-    run_marks = jnp.zeros((m,), jnp.int32).at[offsets_o].max(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    # Field packing: each per-Gaussian rect field rides in the low bits of
+    # its depth rank.  Scatter at run starts, cummax-fill: the rank is
+    # monotone over runs so the max always belongs to the run's owner
+    # (zero-count gaussians sharing an offset have strictly smaller
+    # ranks).  This replaces per-instance gathers entirely.
+    fb = max(tiles_x, tiles_y).bit_length()
+    assert (n - 1).bit_length() + fb <= 31, (
+        f"bit-packed binning overflow: {n} gaussians x {fb} field bits"
     )
-    gi = jax.lax.cummax(run_marks)
-    g = order[gi]
-    rank = inst - offsets_o[gi]
-    live = (inst < total) & (rank < counts_o[gi])
-    rw = jnp.maximum(rect_w[g], 1)
-    tx = min_x[g] + rank % rw
-    ty = min_y[g] + rank // rw
-    tile_id = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    gi_hi = (jnp.arange(n, dtype=i32) << fb)
 
-    tile_s, g_s, perm = jax.lax.sort(
-        (tile_id, g, inst), num_keys=1, is_stable=True
+    def fill(vals):
+        marks = jnp.zeros((m,), i32).at[offsets_o].max(
+            gi_hi | vals.astype(i32), mode="drop"
+        )
+        return jax.lax.cummax(marks)
+
+    f_minxy = fill(min_x[order])  # carries gi + min_x
+    f_geom = fill(min_y[order])  # carries gi + min_y
+    f_rw = fill(jnp.maximum(rect_w, 1)[order])
+    run_start = jax.lax.cummax(
+        jnp.zeros((m,), i32).at[offsets_o].max(offsets_o, mode="drop")
     )
-    return tile_s, g_s, perm, overflow, num_tiles, tiles_x, tiles_y
+
+    inst = jnp.arange(m, dtype=i32)
+    rank = inst - run_start
+    mask_f = (1 << fb) - 1
+    gi = f_minxy >> fb
+    rw = jnp.maximum(f_rw & mask_f, 1)
+    tx = (f_minxy & mask_f) + rank % rw
+    ty = (f_geom & mask_f) + rank // rw
+    live = inst < total
+    tile_id = jnp.where(live, ty * tiles_x + tx, num_tiles).astype(i32)
+
+    tile_s, gi_s = jax.lax.sort((tile_id, gi), num_keys=1, is_stable=True)
+    return tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y
+
+
+def _instances_with_gauss_ids(mean2d, depth, radius, valid, width, height, m):
+    """Old-style (tile, gaussian-id) instance arrays for the XLA oracle
+    backend (the order[gi] conversion is an M-sized scalar gather — fine
+    for the test path, excluded from the Pallas production path)."""
+    tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
+        _build_instances(mean2d, depth, radius, valid, width, height, m)
+    )
+    g_s = order[gi_s]
+    return tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y
+
+
+def _attr_records(mean2d, conic, rgb, opacity, order):
+    """(N+1, REC) attribute records in depth-rank order with a zero
+    sentinel row (dead lanes gather it; its opacity 0 masks them)."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
+
+    f32 = jnp.float32
+    n = mean2d.shape[0]
+    attr = jnp.concatenate(
+        [
+            mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
+            rgb.astype(f32), jnp.zeros((n, fr.REC - 9), f32),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([attr[order], jnp.zeros((1, fr.REC), f32)])
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -180,23 +232,22 @@ def _forward_pallas(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk,
 ):
-    """Pallas per-tile forward: same binning, kernel compositing with
-    early termination. Output contract identical to _forward."""
-    from sgs_tpu.ops.pallas import tile_raster as ptr
+    """Flat Pallas forward: gather-free binning, chunk-padded row packing,
+    one pipelined kernel sweep. Output contract identical to _forward."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
-    tile_s, g_s, _perm, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
-        mean2d, depth, radius, valid, width, height, max_instances
+    tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
+        _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
     )
-    # worst-case chunk rows: every tile's range padded to a chunk boundary
-    max_chunk_rows = max_instances // ptr.CHUNK + num_tiles
-    packed, chunk_row_start, n_chunks, tile_start = ptr.pack_chunked_instances(
-        mean2d.astype(f32), conic.astype(f32), rgb.astype(f32),
-        opacity.astype(f32), g_s, tile_s, num_tiles, max_chunk_rows,
+    attr_ranked = _attr_records(mean2d, conic, rgb, opacity, order)
+    max_rows = fr.num_rows(max_instances, num_tiles)
+    packed, windows, row_tile, row_first, row_last, crs, nch = fr.pack_rows(
+        attr_ranked, gi_s, tile_s, num_tiles, max_rows
     )
     interpret = jax.default_backend() == "cpu"
-    colors, t_final, last_contrib = ptr.forward_pallas(
-        packed, chunk_row_start, n_chunks, tile_start, num_tiles, tiles_x,
+    colors, t_final, last_contrib = fr.forward_flat(
+        packed, row_tile, row_first, crs, nch, num_tiles, tiles_x,
         interpret=interpret,
     )
     out = colors + t_final[:, :, None] * bg[None, None, :].astype(f32)
@@ -204,8 +255,8 @@ def _forward_pallas(
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, 3)
     img = img[:height, :width].transpose(2, 0, 1)
     built = {
-        "packed": packed, "crs": chunk_row_start, "nch": n_chunks,
-        "tstart": tile_start, "tile_s": tile_s, "perm": _perm,
+        "packed": packed, "windows": windows, "row_tile": row_tile,
+        "row_last": row_last, "order": order,
     }
     return img, overflow, t_final, last_contrib, built
 
@@ -215,8 +266,10 @@ def _forward(
     width, height, max_instances, chunk,
 ):
     f32 = jnp.float32
-    tile_s, g_s, _perm, overflow, num_tiles, tiles_x, tiles_y = _build_instances(
-        mean2d, depth, radius, valid, width, height, max_instances
+    tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y = (
+        _instances_with_gauss_ids(
+            mean2d, depth, radius, valid, width, height, max_instances
+        )
     )
     m = max_instances
     num_chunks = -(-m // chunk)
@@ -303,67 +356,32 @@ def _backward_pallas_host(
     width, height, max_instances, chunk,
     t_final, last_contrib, d_img, built,
 ):
-    """Pallas backward: per-tile reverse-walk kernel emits per-instance
-    gradient records; the per-Gaussian reduction is gather-only (sorted
-    segment sum over the contiguous generation-order runs). `built` is
-    the forward's binning/packing residual (avoids a rebuild)."""
-    from sgs_tpu.ops.pallas import tile_raster as ptr
+    """Flat Pallas backward: reverse pipelined sweep emits per-slot
+    gradient records; per-Gaussian reduction is sort + contiguous
+    segment-sum (flat_raster.reduce_grads). `built` is the forward's
+    packing residual (avoids a rebuild)."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
 
-    f32 = jnp.float32
     n = mean2d.shape[0]
-    m = max_instances
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
-    packed, crs, nch, tstart = (
-        built["packed"], built["crs"], built["nch"], built["tstart"]
-    )
-    tile_s, perm = built["tile_s"], built["perm"]
+    packed, windows = built["packed"], built["windows"]
+    row_tile, row_last = built["row_tile"], built["row_last"]
+    order = built["order"]
+
     dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
-    max_chunk_rows = packed.shape[0] // ptr.REC
-    grad_init = jnp.zeros((max_chunk_rows * ptr.GREC, ptr.CHUNK), f32)
+    safe_tile = jnp.minimum(row_tile, num_tiles - 1)
+    tfl_tiles = jnp.stack([t_final, last_contrib], axis=-1)  # (T, 256, 2)
+    tfl_rows = tfl_tiles[safe_tile]
+    dc_rows = dC[safe_tile]
     interpret = jax.default_backend() == "cpu"
-    padgrad = ptr.backward_pallas(
-        packed, grad_init, crs, nch, tstart, bg.astype(f32),
-        t_final, last_contrib, dC, num_tiles, tiles_x, interpret=interpret,
+    padgrad = fr.backward_flat(
+        packed, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
+        interpret=interpret,
     )
-
-    # ---- per-instance grads back to per-Gaussian (gathers only) ----
-    live_sorted = tile_s < num_tiles
-    safe_tile = jnp.clip(tile_s, 0, num_tiles - 1)
-    slot_sorted = crs[safe_tile] * ptr.CHUNK + (
-        jnp.arange(m, dtype=jnp.int32) - tstart[safe_tile]
-    )
-    inv = jnp.argsort(perm)  # generation order -> sorted position
-    slot_gen = slot_sorted[inv]
-    live_gen = live_sorted[inv]
-    # slot-major rows so each instance's 9 grads are one contiguous gather
-    # (scalar gathers are ~18x slower on TPU)
-    rows_total = padgrad.shape[0] // ptr.GREC
-    pad_rows = (
-        padgrad.reshape(rows_total, ptr.GREC, ptr.CHUNK)
-        .transpose(0, 2, 1)
-        .reshape(rows_total * ptr.CHUNK, ptr.GREC)
-    )
-    vals = pad_rows[jnp.clip(slot_gen, 0, rows_total * ptr.CHUNK - 1)][:, :9]
-    vals = jnp.where(live_gen[:, None], vals, 0.0)
-
-    # generation-order instances are contiguous per depth-ranked gaussian
-    ok = valid & (radius > 0)
-    min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
-    counts = jnp.where(ok, (max_x - min_x) * (max_y - min_y), 0)
-    depth_key = jnp.where(ok, depth.astype(f32), jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
-    counts_o = counts[order]
-    offsets_o = jnp.cumsum(counts_o) - counts_o
-    run_marks = jnp.zeros((m,), jnp.int32).at[offsets_o].max(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    gi_gen = jax.lax.cummax(run_marks)
-    sums_o = jax.ops.segment_sum(
-        vals, gi_gen, num_segments=n, indices_are_sorted=True
-    )  # (n, 9) per depth-ranked gaussian
-    d = jnp.zeros((n, 9), f32).at[order].set(sums_o)
+    sums_ranked = fr.reduce_grads(padgrad, windows, n)  # (n, 9) depth-rank
+    d = jnp.zeros((n, 9), jnp.float32).at[order].set(sums_ranked)
     return d[:, 0:2], d[:, 2:5], d[:, 6:9], d[:, 5]
 
 
@@ -374,7 +392,7 @@ def _backward(
 ):
     """Back-to-front re-walk, mirroring backward.cu's per-tile loop."""
     f32 = jnp.float32
-    tile_s, g_s, _perm, _, num_tiles, tiles_x, tiles_y = _build_instances(
+    tile_s, g_s, _, num_tiles, tiles_x, tiles_y = _instances_with_gauss_ids(
         mean2d, depth, radius, valid, width, height, max_instances
     )
     n = mean2d.shape[0]
@@ -387,11 +405,7 @@ def _backward(
     mp = num_chunks * chunk
 
     # cotangent image -> (T, 256, 3) tile layout (zero-pad the crop)
-    h_pad, w_pad = tiles_y * TILE, tiles_x * TILE
-    dC = jnp.zeros((h_pad, w_pad, 3), f32)
-    dC = dC.at[:height, :width].set(d_img.transpose(1, 2, 0).astype(f32))
-    dC = dC.reshape(tiles_y, TILE, tiles_x, TILE, 3).transpose(0, 2, 1, 3, 4)
-    dC = dC.reshape(num_tiles, TILE_PIXELS, 3)
+    dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
 
     # reverse instance order
     tile_r = jnp.flip(tile_s)
@@ -433,7 +447,6 @@ def _backward(
         r_seed = jnp.where(continuing, r_open[None, :], 1.0)
         r = r_seg * r_seed
         t_before = tf / r  # T_i (transmittance before compositing i)
-        t_after = t_before * u  # T_{i+1}
 
         # suffix color sum S_i = sum_{forward j > i} w_j c_j + T_fin * bg
         w = t_before * a_c
@@ -574,12 +587,7 @@ def _core_bwd(width, height, max_instances, chunk, backend, res, cotangents):
     # only when bg is a traced input; reference treats bg as constant)
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
-    num_tiles = tiles_x * tiles_y
-    h_pad, w_pad = tiles_y * TILE, tiles_x * TILE
-    dC = jnp.zeros((h_pad, w_pad, 3), jnp.float32)
-    dC = dC.at[:height, :width].set(d_img.transpose(1, 2, 0).astype(jnp.float32))
-    dC = dC.reshape(tiles_y, TILE, tiles_x, TILE, 3).transpose(0, 2, 1, 3, 4)
-    dC = dC.reshape(num_tiles, TILE_PIXELS, 3)
+    dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
     d_bg = jnp.sum(t_final[:, :, None] * dC, axis=(0, 1)).astype(bg.dtype)
 
     zero_i32 = jnp.zeros(radius.shape, jax.dtypes.float0)

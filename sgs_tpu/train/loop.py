@@ -67,11 +67,13 @@ def train_step(
         image = out["render"]
         ll1 = l1_loss(image, gt_image)
         loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt_image))
-        return loss, (ll1, out["radii"], out["visibility_filter"])
+        return loss, (ll1, out["radii"], out["visibility_filter"], out["overflow"])
 
-    (loss, (ll1, radii, visibility)), (param_grads, tap_grad) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(pool.params(), tap0)
+    (loss, (ll1, radii, visibility, overflow)), (param_grads, tap_grad) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            pool.params(), tap0
+        )
+    )
 
     if freeze_xyz:
         param_grads = {**param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])}
@@ -90,6 +92,7 @@ def train_step(
         "loss": loss,
         "l1": ll1,
         "n_visible": jnp.sum(visibility),
+        "overflow": overflow,
     }
     return TrainState(pool=new_pool, adam=new_adam, stats=new_stats), metrics
 
@@ -136,3 +139,17 @@ def instance_bucket(pool: GaussianPool, camera: Camera, headroom: float = 1.4) -
     )
     want = max(4096, int(total * headroom))
     return 1 << math.ceil(math.log2(want))
+
+
+def instance_bucket_sample(
+    pool: GaussianPool, cameras, py_rng, k: int = 4, headroom: float = 1.4
+) -> int:
+    """instance_bucket over a random sample of k cameras (VERDICT: sizing
+    from only the current camera lets deeper views silently overflow)."""
+    cams = list(cameras)
+    if len(cams) > k:
+        cams = py_rng.sample(cams, k)
+    return max(
+        instance_bucket(pool, getattr(c, "camera", c), headroom=headroom)
+        for c in cams
+    )

@@ -28,7 +28,13 @@ from sgs_tpu.models.densify import densify_and_prune, reset_opacity
 from sgs_tpu.models.gaussians import DensifyStats, GaussianPool, PARAM_FIELDS
 from sgs_tpu.ops.ssim import l1_loss, psnr
 from sgs_tpu.train import checkpoint as ckpt
-from sgs_tpu.train.loop import TrainState, eval_render, instance_bucket, train_step
+from sgs_tpu.train.loop import (
+    TrainState,
+    eval_render,
+    instance_bucket,
+    instance_bucket_sample,
+    train_step,
+)
 from sgs_tpu.train.optim import AdamState, make_lr_dict
 from sgs_tpu.utils.config import (
     ModelParams,
@@ -113,7 +119,7 @@ def training(
 
     max_instances = 0
     if raster_mode == "tiled":
-        max_instances = instance_bucket(state.pool, train_cams[0].camera)
+        max_instances = instance_bucket_sample(state.pool, train_cams, py_rng)
         print(f"instance capacity bucket: {max_instances}")
 
     use_tqdm = not pipe.no_tqdm
@@ -131,7 +137,9 @@ def training(
     from sgs_tpu.viewer import network_gui
 
     t_start = time.time()
+    overflow_events = 0
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        t_iter0 = time.time()
         network_gui.serve(
             lambda cam, sm: eval_render(
                 state.pool, cam, bg_color, active_sh_degree,
@@ -175,9 +183,32 @@ def training(
 
         loss_val = float(metrics["loss"])
         ema_loss = 0.4 * loss_val + 0.6 * ema_loss
-        if tb is not None and iteration % log_every == 0:
+
+        # Overflow recovery: the step just rendered with truncated deepest
+        # tiles. Warn, then regrow the bucket so subsequent views are exact
+        # (the overflow count bounds the needed capacity from below).
+        ovf = int(metrics.get("overflow", 0))
+        if ovf > 0 and raster_mode == "tiled":
+            needed = max_instances + ovf
+            new_bucket = max_instances
+            while new_bucket < int(needed * 1.4):
+                new_bucket *= 2
+            overflow_events += 1
+            print(
+                f"\n[ITER {iteration}] WARNING: instance overflow "
+                f"({ovf} splats dropped this view); bucket "
+                f"{max_instances} -> {new_bucket}"
+            )
+            max_instances = new_bucket
+            if tb is not None:
+                tb.add_scalar("raster/overflow_instances", ovf, iteration)
+
+        # per-iteration scalars, exactly the reference's three
+        # (train.py:176-178; elapsed in ms like the cuda-event pair)
+        if tb is not None:
             tb.add_scalar("train_loss_patches/l1_loss", float(metrics["l1"]), iteration)
             tb.add_scalar("train_loss_patches/total_loss", loss_val, iteration)
+            tb.add_scalar("iter_time", (time.time() - t_iter0) * 1000.0, iteration)
         if progress is not None and iteration % log_every == 0:
             progress.set_postfix({"Loss": f"{ema_loss:.7f}"})
             progress.update(log_every)
@@ -188,6 +219,7 @@ def training(
                 tsv, iteration, scene, state.pool, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
                 backend=raster_backend, tb=tb,
+                log_gt_images=iteration == min(testing_iterations),
             )
 
         if iteration in saving_iterations:
@@ -227,7 +259,9 @@ def training(
                     print(f"\n[ITER {iteration}] WARNING: dropped {dropped} "
                           "densified Gaussians (pool full)")
                 if raster_mode == "tiled":
-                    new_bucket = instance_bucket(state.pool, cam.camera)
+                    new_bucket = instance_bucket_sample(
+                        state.pool, train_cams, py_rng
+                    )
                     # hysteresis: grow immediately, shrink only on a 4x
                     # drop (every bucket change recompiles the train step)
                     if new_bucket > max_instances or new_bucket * 4 <= max_instances:
@@ -277,18 +311,26 @@ def _make_tb_writer(model_path: str):
 def training_report(
     tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color,
     mode: str = "reference", max_instances: int = 0, backend: str = "xla",
-    tb=None,
+    tb=None, full_train_set: bool = False, log_gt_images: bool = False,
 ) -> None:
-    """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row."""
+    """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row.
+
+    full_train_set evaluates the WHOLE train list like the reference's
+    get_psnr.py:198-201 (the trainer's default is the range(5,30) subsample
+    of train.py:185); log_gt_images mirrors train.py:195-196 (GTs only at
+    the first testing iteration)."""
     train_cams = scene.getTrainCameras()
+    if full_train_set:
+        train_eval = list(train_cams)
+    else:
+        train_eval = (
+            [train_cams[i % len(train_cams)] for i in range(5, 30)]
+            if train_cams
+            else []
+        )
     configs = (
         {"name": "test", "cameras": scene.getTestCameras()},
-        {
-            "name": "train",
-            "cameras": [train_cams[i % len(train_cams)] for i in range(5, 30)]
-            if train_cams
-            else [],
-        },
+        {"name": "train", "cameras": train_eval},
     )
     n_gaussians = int(pool.num_alive)
     for config in configs:
@@ -296,12 +338,25 @@ def training_report(
         if not cams:
             continue
         l1_sum, psnr_sum = 0.0, 0.0
-        for cam in cams:
+        for idx, cam in enumerate(cams):
             image = eval_render(
                 pool, cam.camera, bg_color, active_sh_degree,
                 mode=mode, max_instances=max_instances, backend=backend,
             )
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
+            if tb is not None and idx < 5:
+                import numpy as _np
+
+                name = getattr(cam, "image_name", str(idx))
+                tb.add_images(
+                    config["name"] + f"_view_{name}/render",
+                    _np.asarray(image)[None], global_step=iteration,
+                )
+                if log_gt_images:
+                    tb.add_images(
+                        config["name"] + f"_view_{name}/ground_truth",
+                        _np.asarray(gt)[None], global_step=iteration,
+                    )
             l1_sum += float(l1_loss(image, gt))
             psnr_sum += float(psnr(image, gt))
         l1_avg = l1_sum / len(cams)
