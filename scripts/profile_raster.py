@@ -116,14 +116,15 @@ def main():
 
     max_rows = fr.num_rows(max_instances, num_tiles)
     attrf = jax.jit(tiled._attr_records)
-    attr_ranked = bench(
-        "attr records (_attr_records)", attrf, mean2d, conic, rgb, opac, permi
+    attr_sorted = bench(
+        "attr records (_attr_records)", attrf,
+        mean2d, conic, rgb, opac, permi, g_s,
     )
-    packf = jax.jit(fr.pack_rows, static_argnums=(3, 4))
+    packf = jax.jit(fr.pack_rows, static_argnums=(2, 3))
     packed, windows, row_tile, row_first, row_last, crs, nch = bench(
         "packing (pack_rows)",
         lambda *a: packf(*a, num_tiles, max_rows),
-        attr_ranked, g_s, tile_s,
+        attr_sorted, tile_s,
     )
 
     fwd_kern = jax.jit(fr.forward_flat, static_argnums=(5, 6))

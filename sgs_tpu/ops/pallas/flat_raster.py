@@ -70,23 +70,28 @@ def num_rows(max_instances: int, num_tiles: int) -> int:
     return -(-r // KROWS) * KROWS
 
 
-def pack_rows(attr_ranked, gi_sorted, tile_sorted, num_tiles, max_rows):
+def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     """Chunk-pad the tile-sorted instance list into per-row records.
 
-    attr_ranked: (N+1, REC) attribute records in DEPTH-RANK order with a
-      zero sentinel row at index N (dead lanes point there, so their
-      opacity is 0 and they never composite).
-    gi_sorted / tile_sorted: (M,) depth-rank ids and tile ids, sorted by
-      tile (stable, so per-tile depth order is preserved).
+    attr_sorted: (M+1, REC) attribute records in TILE-SORTED instance
+      order (attr column 9 carries the ORIGINAL gaussian id as f32) with
+      a zero sentinel row at index M — dead lanes point there, so their
+      opacity is 0 and they never composite and their id is the dead key.
+    tile_sorted: (M,) tile ids, sorted (stable, so per-tile depth order
+      is preserved).
+
+    The slot -> instance map is affine per row, so the only instance-
+    scale op here is ONE wide (R*CHUNK, REC) row gather — round 2 lesson:
+    vmap(dynamic_slice) lowers to a 20k-iteration serial while loop
+    (~16 ms) and scalar gathers cost ~6x a row gather of 16x the bytes.
 
     Returns (packed (max_rows*REC, CHUNK) f32,
-             windows (max_rows, CHUNK) int32 depth-rank ids (N = dead),
-             row_tile (max_rows,) int32,
+             windows (max_rows, CHUNK) int32 original gaussian ids,
+             row_tile (max_rows,) int32 (num_tiles = dead row),
              row_first / row_last (max_rows,) int32 tile-boundary flags,
              chunk_row_start (T,), n_chunks (T,)).
     """
-    m = gi_sorted.shape[0]
-    n_sentinel = attr_ranked.shape[0] - 1
+    m = tile_sorted.shape[0]
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
     tile_end = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
@@ -106,23 +111,14 @@ def pack_rows(attr_ranked, gi_sorted, tile_sorted, num_tiles, max_rows):
         rowv == chunk_row_start[row_tile_c] + n_chunks[row_tile_c] - 1
     )
     starts = tile_start[row_tile_c] + (rowv - chunk_row_start[row_tile_c]) * CHUNK
-    starts = jnp.where(row_valid, starts, m)  # m -> all-sentinel window
 
-    # contiguous 128-wide windows of the sorted order: a slice-gather, not
-    # a per-element gather (TPU scalar gathers are 15+ ms at this size)
-    gi_pad = jnp.concatenate(
-        [gi_sorted, jnp.full((CHUNK,), n_sentinel, gi_sorted.dtype)]
-    )
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(gi_pad, (s,), (CHUNK,))
-    )(starts)
     lanes = jnp.arange(CHUNK, dtype=jnp.int32)
-    live = row_valid[:, None] & (
-        starts[:, None] + lanes[None, :] < tile_end[row_tile_c][:, None]
-    )
-    windows = jnp.where(live, windows, n_sentinel).astype(jnp.int32)
+    src = starts[:, None] + lanes[None, :]
+    live = row_valid[:, None] & (src < tile_end[row_tile_c][:, None])
+    src = jnp.where(live, src, m)  # m -> sentinel record
 
-    rows = attr_ranked[windows]  # (R, CHUNK, REC) single wide row-gather
+    rows = attr_sorted[src]  # (R, CHUNK, REC) single wide row-gather
+    windows = rows[:, :, 9].astype(jnp.int32)
     packed = rows.transpose(0, 2, 1).reshape(max_rows * REC, CHUNK)
     # dead (padding) rows carry the sentinel tile id so the kernels skip
     # their VPU work entirely
@@ -300,6 +296,9 @@ def _bwd_kernel(
     ).astype(jnp.float32)
     lx = jax.lax.rem(p_idx, TILE).astype(jnp.float32)
     ly = (p_idx // TILE).astype(jnp.float32)
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    lanes_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tri = (lanes_i >= lanes_j).astype(jnp.float32)
 
     for jj in range(KROWS):
         j = KROWS - 1 - jj
@@ -370,19 +369,17 @@ def _bwd_kernel(
             wc1 = w * rgb_t[1:2, :]
             wc2 = w * rgb_t[2:3, :]
 
-            def rev_incl_sum(x):
-                kk = 1
-                while kk < CHUNK:
-                    x = x + jnp.concatenate(
-                        [x[:, kk:], jnp.zeros((TILE_PIXELS, kk), jnp.float32)],
-                        axis=1,
-                    )
-                    kk *= 2
-                return x
-
-            ri0 = rev_incl_sum(wc0)
-            ri1 = rev_incl_sum(wc1)
-            ri2 = rev_incl_sum(wc2)
+            # reverse inclusive sums as ONE MXU contraction with a
+            # lower-triangular ones matrix (ri[p,j] = sum_{k>=j} x[p,k]):
+            # 3x7 Hillis-Steele lane-shift passes -> one (768,128)x(128,128)
+            wc_all = jnp.concatenate([wc0, wc1, wc2], axis=0)
+            ri_all = jax.lax.dot_general(
+                wc_all, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            ri0 = ri_all[0:TILE_PIXELS]
+            ri1 = ri_all[TILE_PIXELS:2 * TILE_PIXELS]
+            ri2 = ri_all[2 * TILE_PIXELS:3 * TILE_PIXELS]
             suf0 = ri0 - wc0 + s_old[:, 0:1]
             suf1 = ri1 - wc1 + s_old[:, 1:2]
             suf2 = ri2 - wc2 + s_old[:, 2:3]
@@ -484,20 +481,25 @@ def backward_flat(
 
 
 def reduce_grads(padgrad, windows, n):
-    """Per-slot gradient records -> per-DEPTH-RANK (n, 9) sums.
+    """Per-slot gradient records -> per-ORIGINAL-GAUSSIAN (n, 9) sums.
 
-    Sort-then-segment-sum: one cheap 1-key int32 sort groups every slot
-    of the same gaussian contiguously (dead lanes carry key n and drop),
-    replacing round 1's 30 ms argsort + per-element gathers.
+    Sort-then-segment-sum, with only (key, slot-index) going through the
+    sort — a 10-array variadic sort measures 18 ms device-side at 2.6M
+    slots vs ~4 ms for the 2-array sort + one wide row gather. Dead lanes
+    carry key >= n and drop. windows holds ORIGINAL gaussian ids, so the
+    result needs no inverse-permutation scatter (a (100k, 9) scatter
+    measured 22 ms device-side).
     """
     max_rows = padgrad.shape[0] // GREC
+    slots = max_rows * CHUNK
     rows = padgrad.reshape(max_rows, GREC, CHUNK).transpose(0, 2, 1)
-    flat = rows.reshape(max_rows * CHUNK, GREC)
-    keys = windows.reshape(max_rows * CHUNK)
-    cols = tuple(flat[:, i] for i in range(9))
-    sorted_all = jax.lax.sort((keys,) + cols, num_keys=1, is_stable=False)
-    skeys = sorted_all[0]
-    vals = jnp.stack(sorted_all[1:], axis=1)  # (M_pad, 9)
+    flat = rows.reshape(slots, GREC)
+    keys = windows.reshape(slots)
+    skeys, perm = jax.lax.sort(
+        (keys, jnp.arange(slots, dtype=jnp.int32)), num_keys=1,
+        is_stable=False,
+    )
+    vals = flat[perm][:, :9]  # wide row gather in sorted-key order
     vals = jnp.where((skeys < n)[:, None], vals, 0.0)
     return jax.ops.segment_sum(
         vals, jnp.minimum(skeys, n - 1), num_segments=n,

@@ -58,6 +58,8 @@ def make_dp_train_step(
     axis: str = "data",
     mode: str = "tiled",
     max_instances: int = 0,
+    backend: str = "xla",
+    apply_update: bool = True,
 ):
     """Build a jitted sharded train step.
 
@@ -74,20 +76,24 @@ def make_dp_train_step(
                 out = render(
                     camera, pool_like.render_inputs(), bg, vspace_tap=t,
                     mode=mode, max_instances=max_instances or None,
+                    backend=backend,
                 )
                 image = out["render"]
                 ll1 = l1_loss(image, gt)
                 loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (
                     1 - ssim(image, gt)
                 )
-                return loss, (ll1, out["radii"], out["visibility_filter"])
+                return loss, (
+                    ll1, out["radii"], out["visibility_filter"],
+                    out["overflow"],
+                )
 
-            (loss, (ll1, radii, vis)), grads = jax.value_and_grad(
+            (loss, (ll1, radii, vis, ovf)), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(params, tap)
-            return loss, ll1, radii, vis, grads
+            return loss, ll1, radii, vis, ovf, grads
 
-        losses, ll1s, radii, vis, grads = jax.vmap(
+        losses, ll1s, radii, vis, ovfs, grads = jax.vmap(
             one_camera, in_axes=(0, 0, 0)
         )(camera_b, gt_b, tap_b)
         # mean over the local batch, then over the mesh axis
@@ -106,13 +112,14 @@ def make_dp_train_step(
         accum = jax.lax.psum(accum, axis)
         denom = jax.lax.psum(denom, axis)
         maxrad = jax.lax.pmax(maxrad, axis)
-        return param_grads, loss, ll1, accum, denom, maxrad
+        overflow = jax.lax.pmax(jnp.max(ovfs), axis)
+        return param_grads, loss, ll1, accum, denom, maxrad, overflow
 
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P(axis)),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         # the compositing scan's carry init is unvarying while its xs vary
         # over the data axis; skip the vma strictness check (collectives
         # here are explicit pmean/psum).
@@ -125,16 +132,19 @@ def make_dp_train_step(
         params = pool.params()
         b = gt_batch.shape[0]
         tap_b = jnp.zeros((b, pool.capacity, 3), jnp.float32)
-        param_grads, loss, ll1, accum, denom, maxrad = sharded(
+        param_grads, loss, ll1, accum, denom, maxrad, overflow = sharded(
             params, pool.alive, cam_batch, gt_batch, bg, tap_b
         )
         if freeze_xyz:
             param_grads = {
                 **param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])
             }
-        new_params, new_adam = adam_update(
-            params, param_grads, state.adam, lrs, update_mask=pool.alive
-        )
+        if apply_update:
+            new_params, new_adam = adam_update(
+                params, param_grads, state.adam, lrs, update_mask=pool.alive
+            )
+        else:
+            new_params, new_adam = params, state.adam
         new_stats = DensifyStats(
             xyz_gradient_accum=state.stats.xyz_gradient_accum + accum[:, None],
             denom=state.stats.denom + denom[:, None],
@@ -143,7 +153,7 @@ def make_dp_train_step(
         new_state = TrainState(
             pool=pool.with_params(new_params), adam=new_adam, stats=new_stats
         )
-        return new_state, {"loss": loss, "l1": ll1}
+        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow}
 
     return step
 

@@ -181,21 +181,30 @@ def _instances_with_gauss_ids(mean2d, depth, radius, valid, width, height, m):
     return tile_s, g_s, overflow, num_tiles, tiles_x, tiles_y
 
 
-def _attr_records(mean2d, conic, rgb, opacity, order):
-    """(N+1, REC) attribute records in depth-rank order with a zero
-    sentinel row (dead lanes gather it; its opacity 0 masks them)."""
+def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
+    """(M+1, REC) attribute records in TILE-SORTED instance order with a
+    zero sentinel row at index M (dead lanes gather it; its opacity 0
+    masks them). Column 9 carries the ORIGINAL gaussian id as f32 (exact
+    below 2^24) so the backward reduction keys on it without any
+    inverse-permutation scatter. Two wide row gathers only — never an
+    M-sized scalar gather."""
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
     n = mean2d.shape[0]
+    assert n < (1 << 24), "f32 id column exact only below 2^24 gaussians"
     attr = jnp.concatenate(
         [
             mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
-            rgb.astype(f32), jnp.zeros((n, fr.REC - 9), f32),
+            rgb.astype(f32), jnp.arange(n, dtype=f32)[:, None],
+            jnp.zeros((n, fr.REC - 10), f32),
         ],
         axis=1,
     )
-    return jnp.concatenate([attr[order], jnp.zeros((1, fr.REC), f32)])
+    attr_ranked = attr[order]  # depth-rank order (N rows)
+    attr_sorted = attr_ranked[gi_sorted]  # tile-sorted instances (M rows)
+    sentinel = jnp.zeros((1, fr.REC), f32).at[0, 9].set(float(n))
+    return jnp.concatenate([attr_sorted, sentinel])
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -240,10 +249,10 @@ def _forward_pallas(
     tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
         _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
     )
-    attr_ranked = _attr_records(mean2d, conic, rgb, opacity, order)
+    attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
     max_rows = fr.num_rows(max_instances, num_tiles)
     packed, windows, row_tile, row_first, row_last, crs, nch = fr.pack_rows(
-        attr_ranked, gi_s, tile_s, num_tiles, max_rows
+        attr_sorted, tile_s, num_tiles, max_rows
     )
     interpret = jax.default_backend() == "cpu"
     colors, t_final, last_contrib = fr.forward_flat(
@@ -256,7 +265,7 @@ def _forward_pallas(
     img = img[:height, :width].transpose(2, 0, 1)
     built = {
         "packed": packed, "windows": windows, "row_tile": row_tile,
-        "row_last": row_last, "order": order,
+        "row_last": row_last,
     }
     return img, overflow, t_final, last_contrib, built
 
@@ -368,7 +377,6 @@ def _backward_pallas_host(
     num_tiles = tiles_x * tiles_y
     packed, windows = built["packed"], built["windows"]
     row_tile, row_last = built["row_tile"], built["row_last"]
-    order = built["order"]
 
     dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
@@ -380,8 +388,9 @@ def _backward_pallas_host(
         packed, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
         interpret=interpret,
     )
-    sums_ranked = fr.reduce_grads(padgrad, windows, n)  # (n, 9) depth-rank
-    d = jnp.zeros((n, 9), jnp.float32).at[order].set(sums_ranked)
+    # windows key on ORIGINAL gaussian ids, so this is already in original
+    # order — no inverse-permutation scatter (22 ms device-side at 100k)
+    d = fr.reduce_grads(padgrad, windows, n)  # (n, 9)
     return d[:, 0:2], d[:, 2:5], d[:, 6:9], d[:, 5]
 
 

@@ -122,6 +122,22 @@ def training(
         max_instances = instance_bucket_sample(state.pool, train_cams, py_rng)
         print(f"instance capacity bucket: {max_instances}")
 
+    # ---- multi-chip camera-batch data parallelism (--parallel dp) ----
+    parallel = getattr(pipe, "parallel", "none")
+    mesh = None
+    dp_steps: dict = {}
+    if parallel == "dp":
+        from sgs_tpu.parallel.data_parallel import replicate_state
+        from sgs_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        dp_n = mesh.shape["data"]
+        state = replicate_state(state, mesh)
+        print(f"data-parallel training over {dp_n} devices "
+              f"(camera batch = {dp_n})")
+    elif parallel != "none":
+        raise ValueError(f"unknown --parallel mode {parallel!r}")
+
     use_tqdm = not pipe.no_tqdm
     progress = None
     if use_tqdm:
@@ -152,9 +168,13 @@ def training(
         if iteration % 1000 == 0 and active_sh_degree < dataset.sh_degree:
             active_sh_degree += 1
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(train_cams)
-        cam = viewpoint_stack.pop(py_rng.randint(0, len(viewpoint_stack) - 1))
+        def pop_camera():
+            nonlocal viewpoint_stack
+            if not viewpoint_stack:
+                viewpoint_stack = list(train_cams)
+            return viewpoint_stack.pop(
+                py_rng.randint(0, len(viewpoint_stack) - 1)
+            )
 
         if opt.random_background:
             rng, sub = jax.random.split(rng)
@@ -166,20 +186,44 @@ def training(
             k: jnp.float32(v)
             for k, v in make_lr_dict(opt, spatial_lr_scale, iteration).items()
         }
-        state, metrics = train_step(
-            state,
-            cam.camera,
-            jnp.asarray(cam.gt_image),
-            bg,
-            lrs,
-            active_sh_degree=active_sh_degree,
-            lambda_dssim=opt.lambda_dssim,
-            freeze_xyz=dataset.freeze_xyz,
-            apply_update=iteration < opt.iterations,
-            mode=raster_mode,
-            max_instances=max_instances,
-            backend=raster_backend,
-        )
+        if parallel == "dp":
+            from sgs_tpu.parallel.data_parallel import (
+                make_dp_train_step,
+                shard_camera_batch,
+                stack_cameras,
+            )
+
+            cams_b = [pop_camera() for _ in range(dp_n)]
+            cam_batch = stack_cameras([c.camera for c in cams_b])
+            gt_batch = jnp.stack([jnp.asarray(c.gt_image) for c in cams_b])
+            cam_batch, gt_batch = shard_camera_batch(cam_batch, gt_batch, mesh)
+            key = (active_sh_degree, max_instances, iteration < opt.iterations)
+            if key not in dp_steps:
+                dp_steps[key] = make_dp_train_step(
+                    mesh, active_sh_degree,
+                    lambda_dssim=opt.lambda_dssim,
+                    freeze_xyz=dataset.freeze_xyz,
+                    mode=raster_mode, max_instances=max_instances,
+                    backend=raster_backend,
+                    apply_update=iteration < opt.iterations,
+                )
+            state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
+        else:
+            cam = pop_camera()
+            state, metrics = train_step(
+                state,
+                cam.camera,
+                jnp.asarray(cam.gt_image),
+                bg,
+                lrs,
+                active_sh_degree=active_sh_degree,
+                lambda_dssim=opt.lambda_dssim,
+                freeze_xyz=dataset.freeze_xyz,
+                apply_update=iteration < opt.iterations,
+                mode=raster_mode,
+                max_instances=max_instances,
+                backend=raster_backend,
+            )
 
         loss_val = float(metrics["loss"])
         ema_loss = 0.4 * loss_val + 0.6 * ema_loss
@@ -276,6 +320,13 @@ def training(
                 state = TrainState(
                     pool=new_pool, adam=new_adam, stats=state.stats
                 )
+
+            if parallel == "dp":
+                # host-side pool surgery may leave leaves uncommitted /
+                # differently placed; pin the new state back to the mesh
+                from sgs_tpu.parallel.data_parallel import replicate_state
+
+                state = replicate_state(state, mesh)
 
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")

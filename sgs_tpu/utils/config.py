@@ -54,6 +54,9 @@ class PipelineParams:
     # TPU-framework extensions: rasterizer selection
     rasterizer: str = "tiled"  # "tiled" (production) | "reference" (oracle)
     raster_backend: str = "xla"  # "xla" | "pallas" forward kernel
+    # multi-chip training: "none" | "dp" (camera-batch data parallelism
+    # over all visible devices; batch size = device count)
+    parallel: str = "none"
 
     _shorthands: dict = field(default_factory=dict)
 
