@@ -365,33 +365,28 @@ def _bwd_kernel(
             t_before = tf / r_full  # T_i
             w = t_before * a_c
 
-            wc0 = w * rgb_t[0:1, :]
-            wc1 = w * rgb_t[1:2, :]
-            wc2 = w * rgb_t[2:3, :]
-
-            # reverse inclusive sums as ONE MXU contraction with a
-            # lower-triangular ones matrix (ri[p,j] = sum_{k>=j} x[p,k]):
-            # 3x7 Hillis-Steele lane-shift passes -> one (768,128)x(128,128)
-            wc_all = jnp.concatenate([wc0, wc1, wc2], axis=0)
-            ri_all = jax.lax.dot_general(
-                wc_all, tri, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )
-            ri0 = ri_all[0:TILE_PIXELS]
-            ri1 = ri_all[TILE_PIXELS:2 * TILE_PIXELS]
-            ri2 = ri_all[2 * TILE_PIXELS:3 * TILE_PIXELS]
-            suf0 = ri0 - wc0 + s_old[:, 0:1]
-            suf1 = ri1 - wc1 + s_old[:, 1:2]
-            suf2 = ri2 - wc2 + s_old[:, 2:3]
-
-            # dL/da = dC . (T_i c_i - suffix_i / u_i)
+            # dL/da_i = dC . (T_i c_i - suffix_i / u_i) where suffix_i is
+            # the per-color sum over forward-later instances. Since dC is
+            # constant across lanes, dC.suffix_i = reverse-cumsum over
+            # lanes of (w_j * dC.c_j) + dC.carry — collapsing the previous
+            # per-color (768,128)x(128,128) tri contraction to ONE
+            # (256,128)x(128,128); the per-color suffixes are only needed
+            # for the carry, a cheap (256,128)x(128,3) row total.
             dc_dot_c = jax.lax.dot_general(
                 dc, rgb_t, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )
-            dc_dot_suf = (
-                dc[:, 0:1] * suf0 + dc[:, 1:2] * suf1 + dc[:, 2:3] * suf2
+            wcd = w * dc_dot_c  # (256, CHUNK): w_j * dC.c_j
+            ri = jax.lax.dot_general(
+                wcd, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # reverse inclusive cumsum of wcd along lanes
+            dc_dot_sold = (
+                dc[:, 0:1] * s_old[:, 0:1]
+                + dc[:, 1:2] * s_old[:, 1:2]
+                + dc[:, 2:3] * s_old[:, 2:3]
             )
+            dc_dot_suf = ri - wcd + dc_dot_sold
             g_alpha = jnp.where(
                 contrib, t_before * dc_dot_c - dc_dot_suf / u, 0.0
             )
@@ -425,15 +420,13 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32, precision=_HI,
             )
 
+            # per-color carry: total wc row sum (one (256,C)x(C,3) MXU op)
+            wc_tot = jax.lax.dot_general(
+                w, rgb_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # (256, 3)
             carry[:, 0:1] = r_full[:, 0:1]
-            carry[:, 1:4] = jnp.concatenate(
-                [
-                    ri0[:, 0:1] + s_old[:, 0:1],
-                    ri1[:, 0:1] + s_old[:, 1:2],
-                    ri2[:, 0:1] + s_old[:, 2:3],
-                ],
-                axis=1,
-            )
+            carry[:, 1:4] = wc_tot + s_old
 
 
 def backward_flat(
@@ -483,25 +476,21 @@ def backward_flat(
 def reduce_grads(padgrad, windows, n):
     """Per-slot gradient records -> per-ORIGINAL-GAUSSIAN (n, 9) sums.
 
-    Sort-then-segment-sum, with only (key, slot-index) going through the
-    sort — a 10-array variadic sort measures 18 ms device-side at 2.6M
-    slots vs ~4 ms for the 2-array sort + one wide row gather. Dead lanes
-    carry key >= n and drop. windows holds ORIGINAL gaussian ids, so the
-    result needs no inverse-permutation scatter (a (100k, 9) scatter
-    measured 22 ms device-side).
+    ONE direct unsorted scatter-add. Device-measured at 2.6M slots /
+    100k gaussians (scripts/exp_reduce.py): direct segment_sum 45 ms =
+    variadic 10-array sort + sorted segment_sum 46 ms; the round-2
+    interim "2-array sort + wide row gather + sorted segment_sum" was
+    95 ms — the sorted-order (slots, 16) row gather alone costs ~70 ms
+    (fully random 64 B rows), dwarfing what the sort saves on the
+    scatter side. Dead lanes carry key >= n and drop. windows holds
+    ORIGINAL gaussian ids (no inverse-permutation pass needed).
     """
     max_rows = padgrad.shape[0] // GREC
     slots = max_rows * CHUNK
     rows = padgrad.reshape(max_rows, GREC, CHUNK).transpose(0, 2, 1)
     flat = rows.reshape(slots, GREC)
     keys = windows.reshape(slots)
-    skeys, perm = jax.lax.sort(
-        (keys, jnp.arange(slots, dtype=jnp.int32)), num_keys=1,
-        is_stable=False,
-    )
-    vals = flat[perm][:, :9]  # wide row gather in sorted-key order
-    vals = jnp.where((skeys < n)[:, None], vals, 0.0)
+    vals = jnp.where((keys < n)[:, None], flat[:, :9], 0.0)
     return jax.ops.segment_sum(
-        vals, jnp.minimum(skeys, n - 1), num_segments=n,
-        indices_are_sorted=True,
+        vals, jnp.minimum(keys, n - 1), num_segments=n
     )
