@@ -146,11 +146,11 @@ def main():
 
     # backward kernel standalone
     d_img = jnp.ones((3, HEIGHT, WIDTH), jnp.float32) / (3 * HEIGHT * WIDTH)
-    dC = jax.jit(tiled._image_to_tiles, static_argnums=(1, 2, 3, 4))(
+    dC = jax.jit(tiled._image_to_tiles_cf, static_argnums=(1, 2, 3, 4))(
         d_img, WIDTH, HEIGHT, tiles_x, tiles_y
     )
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
-    tfl_rows = jnp.stack([t_final, last_contrib], axis=-1)[safe_tile]
+    tfl_rows = jnp.stack([t_final, last_contrib], axis=1)[safe_tile]
     dc_rows = dC[safe_tile]
     bwd_kern = jax.jit(fr.backward_flat, static_argnums=(6, 7))
     padgrad = bench(

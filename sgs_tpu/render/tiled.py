@@ -259,10 +259,11 @@ def _forward_pallas(
         packed, row_tile, row_first, crs, nch, num_tiles, tiles_x,
         interpret=interpret,
     )
-    out = colors + t_final[:, :, None] * bg[None, None, :].astype(f32)
-    img = out.reshape(tiles_y, tiles_x, TILE, TILE, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, 3)
-    img = img[:height, :width].transpose(2, 0, 1)
+    # channel-first tile layout (T, 3, 256) assembles straight into (3, H, W)
+    out = colors + t_final[:, None, :] * bg[None, :, None].astype(f32)
+    img = out.reshape(tiles_y, tiles_x, 3, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, tiles_y * TILE, tiles_x * TILE)
+    img = img[:, :height, :width]
     built = {
         "packed": packed, "windows": windows, "row_tile": row_tile,
         "row_last": row_last,
@@ -360,6 +361,16 @@ def _image_to_tiles(d_img, width, height, tiles_x, tiles_y):
     return dC.reshape(tiles_x * tiles_y, TILE_PIXELS, 3)
 
 
+def _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y):
+    """(3, H, W) cotangent -> (T, 3, 256) channel-first tile layout
+    (the flat Pallas kernels' native shape: pixels on lanes)."""
+    h_pad, w_pad = tiles_y * TILE, tiles_x * TILE
+    dC = jnp.zeros((3, h_pad, w_pad), jnp.float32)
+    dC = dC.at[:, :height, :width].set(d_img.astype(jnp.float32))
+    dC = dC.reshape(3, tiles_y, TILE, tiles_x, TILE).transpose(1, 3, 0, 2, 4)
+    return dC.reshape(tiles_x * tiles_y, 3, TILE_PIXELS)
+
+
 def _backward_pallas_host(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk,
@@ -378,9 +389,9 @@ def _backward_pallas_host(
     packed, windows = built["packed"], built["windows"]
     row_tile, row_last = built["row_tile"], built["row_last"]
 
-    dC = _image_to_tiles(d_img, width, height, tiles_x, tiles_y)
+    dC = _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y)
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
-    tfl_tiles = jnp.stack([t_final, last_contrib], axis=-1)  # (T, 256, 2)
+    tfl_tiles = jnp.stack([t_final, last_contrib], axis=1)  # (T, 2, 256)
     tfl_rows = tfl_tiles[safe_tile]
     dc_rows = dC[safe_tile]
     interpret = jax.default_backend() == "cpu"
