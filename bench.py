@@ -60,23 +60,28 @@ def main():
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
-    # size the instance buffer from a count pre-pass (x1.25 headroom)
-    from sgs_tpu.core import transforms
+    # size the instance + row buffers from count pre-passes (x1.25
+    # headroom), tight (exact ellipse/tile) binning — the production path
     from sgs_tpu.core.projection import project_gaussians
-    from sgs_tpu.render.tiled import instance_count
+    from sgs_tpu.render.tiled import instance_count_tight, row_count
 
     proj = project_gaussians(
         pool.xyz, pool.get_covariance(), cam.world_view_transform,
         cam.full_proj_transform, cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT,
     )
+    valid = (proj["radius"] > 0) & pool.alive
+    rows = int(row_count(proj["mean2d"], proj["radius"], valid, WIDTH, HEIGHT))
+    max_rows = -(-int(rows * 1.25) // 4096) * 4096
+    inputs = pool.render_inputs(0)
     total = int(
-        instance_count(
-            proj["mean2d"], proj["radius"], (proj["radius"] > 0) & pool.alive,
-            WIDTH, HEIGHT,
+        instance_count_tight(
+            proj["mean2d"], proj["conic"], inputs.opacities[..., 0],
+            proj["depth"], proj["radius"], valid, WIDTH, HEIGHT, max_rows,
         )
     )
     max_instances = -(-int(total * 1.25) // 4096) * 4096
-    print(f"# instances: {total} (capacity {max_instances})", file=sys.stderr)
+    print(f"# instances: {total} (capacity {max_instances}, "
+          f"rows {rows}/{max_rows})", file=sys.stderr)
 
     @jax.jit
     def fwd_bwd(p):
@@ -84,6 +89,7 @@ def main():
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
+                max_row_instances=max_rows,
             )
             return l1_loss(out["render"], gt)
 

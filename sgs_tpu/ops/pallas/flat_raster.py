@@ -97,8 +97,15 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     """
     m = tile_sorted.shape[0]
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tiles, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tiles, side="right").astype(jnp.int32)
+    # scan_unrolled: log2(M) parallel gathers instead of a vmapped while
+    # loop (the default binary search costs ~8 ms/frame in while-loop
+    # overhead at 8k tiles; unrolled it fuses to noise)
+    tile_start = jnp.searchsorted(
+        tile_sorted, tiles, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        tile_sorted, tiles, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)
     counts = tile_end - tile_start
     n_chunks = -(-counts // CHUNK)
     chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
@@ -106,7 +113,9 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
 
     rowv = jnp.arange(max_rows, dtype=jnp.int32)
     row_tile_c = jnp.clip(
-        jnp.searchsorted(chunk_row_start, rowv, side="right").astype(jnp.int32) - 1,
+        jnp.searchsorted(
+            chunk_row_start, rowv, side="right", method="scan_unrolled"
+        ).astype(jnp.int32) - 1,
         0, num_tiles - 1,
     )
     row_valid = rowv < rows_used

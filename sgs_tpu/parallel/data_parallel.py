@@ -60,6 +60,7 @@ def make_dp_train_step(
     max_instances: int = 0,
     backend: str = "xla",
     apply_update: bool = True,
+    max_row_instances: int = 0,
 ):
     """Build a jitted sharded train step.
 
@@ -76,7 +77,7 @@ def make_dp_train_step(
                 out = render(
                     camera, pool_like.render_inputs(), bg, vspace_tap=t,
                     mode=mode, max_instances=max_instances or None,
-                    backend=backend,
+                    backend=backend, max_row_instances=max_row_instances,
                 )
                 image = out["render"]
                 ll1 = l1_loss(image, gt)

@@ -72,6 +72,217 @@ def instance_count(mean2d, radius, valid, width: int, height: int) -> jnp.ndarra
     return jnp.sum(jnp.where(valid & (radius > 0), counts, 0))
 
 
+@partial(jax.jit, static_argnames=("width", "height"))
+def row_count(mean2d, radius, valid, width: int, height: int) -> jnp.ndarray:
+    """Total (Gaussian, tile-row) level-1 instances for the tight-culling
+    expansion — the row-capacity pre-pass."""
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
+    counts = jnp.where(
+        valid & (radius > 0) & (max_x > min_x), max_y - min_y, 0
+    )
+    return jnp.sum(counts)
+
+
+def _x_tile_interval(mx, my, ca, cb, cc, tau, ty, min_x, max_x, tiles_x):
+    """Exact tile x-interval [txlo, txhi) of the region where a Gaussian
+    can contribute a non-zero alpha within tile row `ty`, intersected with
+    the reference rect [min_x, max_x).
+
+    A (Gaussian, tile) pair contributes EXACTLY ZERO unless some pixel
+    (x, y) of the tile has alpha = op * exp(-P) >= ALPHA_MIN, i.e.
+    P(dx, dy) = 0.5(ca dx^2 + cc dy^2) + cb dx dy <= tau = ln(op*255).
+    Per tile row (pixel y in [16ty, 16ty+15]) the x-set is the projection
+    of a convex region -> an interval, in closed form (validated against
+    brute force in scripts/exp_tight.py). Culling with it is BIT-IDENTICAL
+    to the reference rect binning — the kernels drop a < ALPHA_MIN — with
+    ~35% fewer instances at bench statistics (more for anisotropic
+    splats; this is the TPU analogue of gsplat-style tight intersection,
+    replacing the CUDA getRect of /root/reference's rasterizer design).
+
+    All elementwise f32; the interval is padded 0.1 px against f32
+    rounding (conservative-only errors). Empty -> txlo >= txhi.
+    """
+    f32 = jnp.float32
+    y0 = (16 * ty).astype(f32) - my
+    y1 = y0 + 15.0
+    cc_s = jnp.maximum(cc, 1e-12)
+    det = jnp.maximum(ca * cc - cb * cb, 1e-30)
+    x_ext = jnp.sqrt(jnp.maximum(2.0 * tau * cc / det, 0.0))
+    slope = cb / cc_s
+
+    def roots_hi(dyb):
+        # larger root of 0.5 ca x^2 + cb dyb x + (0.5 cc dyb^2 - tau) = 0
+        A = jnp.maximum(ca, 1e-12)
+        B = cb * dyb
+        C = 0.5 * cc * dyb * dyb - tau
+        disc = B * B - 2.0 * A * C
+        ok = disc >= 0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return ok, (-B + sq) / A, (-B - sq) / A
+
+    dy_right = -slope * x_ext
+    dyb_r = jnp.clip(dy_right, y0, y1)
+    okr, hi_r, _ = roots_hi(dyb_r)
+    xhi = jnp.where(dyb_r == dy_right, x_ext, jnp.where(okr, hi_r, -jnp.inf))
+    dy_left = slope * x_ext
+    dyb_l = jnp.clip(dy_left, y0, y1)
+    okl, _, lo_l = roots_hi(dyb_l)
+    xlo = jnp.where(dyb_l == dy_left, -x_ext, jnp.where(okl, lo_l, jnp.inf))
+
+    nonempty = (tau > 0.0) & (xhi >= xlo)
+    txlo = jnp.maximum(((mx + xlo - 0.1) / TILE).astype(jnp.int32), min_x)
+    txhi = jnp.minimum(
+        ((mx + xhi + 0.1) / TILE).astype(jnp.int32) + 1, max_x
+    )
+    txlo = jnp.clip(txlo, 0, tiles_x)
+    txhi = jnp.clip(txhi, 0, tiles_x)
+    return jnp.where(nonempty, txlo, 0), jnp.where(nonempty, txhi, 0)
+
+
+def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
+                 width, height, max_row_instances):
+    """Level-1 tight expansion: Gaussians -> depth-ordered tile-ROW
+    instances with exact per-row tile x-intervals.
+
+    Returns (order (N,), grank (R,) gaussian depth rank per row, ty (R,),
+    txlo/txhi (R,) exact interval, w (R,) widths, row_live (R,),
+    row_overflow, tiles_x, tiles_y). Only elementwise ops, two cummax
+    fills, one N-sized sort, and two MONOTONE row gathers."""
+    n = mean2d.shape[0]
+    i32 = jnp.int32
+    f32 = jnp.float32
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    r_cap = max_row_instances
+
+    ok = valid & (radius > 0)
+    min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
+    counts_h = jnp.where(ok & (max_x > min_x), max_y - min_y, 0)
+
+    depth_key = jnp.where(ok, depth.astype(f32), jnp.inf)
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=i32)), num_keys=1, is_stable=True
+    )
+    counts_o = counts_h[order]
+    offs = jnp.cumsum(counts_o) - counts_o
+    row_total = offs[-1] + counts_o[-1]
+    row_overflow = jnp.maximum(row_total - r_cap, 0)
+
+    fby = int(tiles_y + 1).bit_length()
+    assert (n - 1).bit_length() + fby <= 31, "row-fill bit overflow"
+    assert (r_cap - 1).bit_length() <= 24, (
+        "row capacity must stay below 2^24 (level-2 fill bit budget)"
+    )
+    grank_hi = jnp.arange(n, dtype=i32) << fby
+    f_y = jax.lax.cummax(
+        jnp.zeros((r_cap,), i32).at[offs].max(
+            grank_hi | min_y[order], mode="drop"
+        )
+    )
+    run_start = jax.lax.cummax(
+        jnp.zeros((r_cap,), i32).at[offs].max(offs.astype(i32), mode="drop")
+    )
+    ridx = jnp.arange(r_cap, dtype=i32)
+    grank = f_y >> fby
+    ty = (f_y & ((1 << fby) - 1)) + (ridx - run_start)
+    row_live = ridx < jnp.minimum(row_total, r_cap)
+
+    # per-row attributes: ONE (N, 8) record, ranked at N scale, then a
+    # MONOTONE row gather at R scale (grank is non-decreasing)
+    tau = jnp.log(jnp.maximum(opacity.astype(f32), 1e-12) * (1.0 / ALPHA_MIN))
+    cull = jnp.stack(
+        [
+            mean2d[:, 0].astype(f32), mean2d[:, 1].astype(f32),
+            conic[:, 0].astype(f32), conic[:, 1].astype(f32),
+            conic[:, 2].astype(f32), tau,
+            min_x.astype(f32), max_x.astype(f32),
+        ],
+        axis=1,
+    )
+    cr = cull[order][grank]  # (R, 8)
+    txlo, txhi = _x_tile_interval(
+        cr[:, 0], cr[:, 1], cr[:, 2], cr[:, 3], cr[:, 4], cr[:, 5],
+        ty, cr[:, 6].astype(i32), cr[:, 7].astype(i32), tiles_x,
+    )
+    w = jnp.where(row_live, jnp.maximum(txhi - txlo, 0), 0)
+    return (
+        order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_row_instances"))
+def instance_count_tight(
+    mean2d, conic, opacity, depth, radius, valid,
+    width: int, height: int, max_row_instances: int,
+) -> jnp.ndarray:
+    """Exact-culled instance total — the tight capacity pre-pass.
+    (Counts only rows that fit max_row_instances; size that bucket from
+    row_count first.)"""
+    out = _expand_rows(
+        mean2d, conic, opacity, depth, radius, valid,
+        width, height, max_row_instances,
+    )
+    return jnp.sum(out[4])
+
+
+def _build_instances_tight(
+    mean2d, conic, opacity, depth, radius, valid,
+    width, height, max_instances, max_row_instances,
+):
+    """Tight binning: two-level expansion (Gaussians -> tile rows ->
+    exactly-overlapped tiles) producing the same contract as
+    `_build_instances` but with only the instances that can contribute
+    a non-zero alpha (see _x_tile_interval).
+
+    Returns (tile_s (M,), rowid_s (M,) ROW ids, grank (R,) row -> depth
+    rank, order (N,), overflow, num_tiles, tiles_x, tiles_y). Instances
+    are emitted depth-rank-major so the stable tile sort preserves
+    per-tile depth order, exactly like the rect path."""
+    i32 = jnp.int32
+    m = max_instances
+    (order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y) = (
+        _expand_rows(
+            mean2d, conic, opacity, depth, radius, valid,
+            width, height, max_row_instances,
+        )
+    )
+    num_tiles = tiles_x * tiles_y
+    r_cap = max_row_instances
+
+    offs2 = jnp.cumsum(w) - w
+    total = offs2[-1] + w[-1]
+    overflow = jnp.maximum(total - m, 0) + row_overflow
+
+    fb = int(max(tiles_x, tiles_y)).bit_length()
+    rid_hi = jnp.arange(r_cap, dtype=i32) << fb
+    mask = (1 << fb) - 1
+
+    def fill(vals):
+        marks = jnp.zeros((m,), i32).at[offs2].max(
+            rid_hi | vals.astype(i32), mode="drop"
+        )
+        return jax.lax.cummax(marks)
+
+    f_x = fill(txlo)
+    f_ty = fill(ty)
+    run2 = jax.lax.cummax(
+        jnp.zeros((m,), i32).at[offs2].max(offs2.astype(i32), mode="drop")
+    )
+    inst = jnp.arange(m, dtype=i32)
+    rank2 = inst - run2
+    rid = f_x >> fb
+    live = inst < jnp.minimum(total, m)
+    tile_id = jnp.where(
+        live,
+        (f_ty & mask) * tiles_x + (f_x & mask) + rank2,
+        num_tiles,
+    ).astype(i32)
+    tile_s, rowid_s = jax.lax.sort((tile_id, rid), num_keys=1, is_stable=True)
+    return tile_s, rowid_s, grank, order, overflow, num_tiles, tiles_x, tiles_y
+
+
 def _segmented_cumprod(u: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumprod along axis 0 of u (G, P), restarting where
     boundary (G,) is True."""
@@ -207,6 +418,36 @@ def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
     return jnp.concatenate([attr_sorted, sentinel])
 
 
+def _attr_records_tight(
+    mean2d, conic, rgb, opacity, order, grank, rowid_s, tile_s, num_tiles
+):
+    """Tight-path attribute records: the per-ROW indirection means the
+    random gather reads from an R-sized (row) table instead of N — same
+    wide-row-gather cost class as the rect path's, plus one MONOTONE
+    R-scale gather."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
+
+    f32 = jnp.float32
+    n = mean2d.shape[0]
+    r_cap = grank.shape[0]
+    assert n < (1 << 24), "f32 id column exact only below 2^24 gaussians"
+    attr = jnp.concatenate(
+        [
+            mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
+            rgb.astype(f32), jnp.arange(n, dtype=f32)[:, None],
+            jnp.zeros((n, fr.REC - 10), f32),
+        ],
+        axis=1,
+    )
+    sentinel = jnp.zeros((1, fr.REC), f32).at[0, 9].set(float(n))
+    attr_rows = jnp.concatenate(
+        [attr[order][grank], sentinel]
+    )  # (R+1, REC); [order] is N-scale, [grank] monotone
+    rowid_safe = jnp.where(tile_s < num_tiles, rowid_s, r_cap)
+    attr_sorted = attr_rows[rowid_safe]  # (M, REC) random row gather
+    return jnp.concatenate([attr_sorted, sentinel])
+
+
 def _chunk_pixels(tids, tiles_x):
     """Pixel coordinates (x, y) of each instance's 256 tile pixels."""
     f32 = jnp.float32
@@ -239,17 +480,33 @@ def _alphas(gs, px, py, live, mean2d, conic, opacity):
 
 def _forward_pallas(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-    width, height, max_instances, chunk,
+    width, height, max_instances, chunk, max_row_instances=0,
 ):
     """Flat Pallas forward: gather-free binning, chunk-padded row packing,
-    one pipelined kernel sweep. Output contract identical to _forward."""
+    one pipelined kernel sweep. Output contract identical to _forward.
+    max_row_instances > 0 selects the TIGHT (exact ellipse/tile) binning
+    — bit-identical output, ~35% fewer instances at bench statistics."""
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
-    tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
-        _build_instances(mean2d, depth, radius, valid, width, height, max_instances)
-    )
-    attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
+    if max_row_instances > 0:
+        tile_s, rowid_s, grank, order, overflow, num_tiles, tiles_x, tiles_y = (
+            _build_instances_tight(
+                mean2d, conic, opacity, depth, radius, valid,
+                width, height, max_instances, max_row_instances,
+            )
+        )
+        attr_sorted = _attr_records_tight(
+            mean2d, conic, rgb, opacity, order, grank, rowid_s, tile_s,
+            num_tiles,
+        )
+    else:
+        tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
+            _build_instances(
+                mean2d, depth, radius, valid, width, height, max_instances
+            )
+        )
+        attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
     max_rows = fr.num_rows(max_instances, num_tiles)
     packed, windows, row_tile, row_first, row_last, crs, nch = fr.pack_rows(
         attr_sorted, tile_s, num_tiles, max_rows
@@ -545,15 +802,15 @@ def _backward(
 
 # ---------------------------------------------------------------- public
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _rasterize_core(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-    width, height, max_instances, chunk, backend,
+    width, height, max_instances, chunk, backend, max_row_instances,
 ):
     if backend == "pallas":
         img, overflow = _forward_pallas(
             mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-            width, height, max_instances, chunk,
+            width, height, max_instances, chunk, max_row_instances,
         )[:2]
     else:
         img, overflow, _, _ = _forward(
@@ -565,12 +822,12 @@ def _rasterize_core(
 
 def _core_fwd(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-    width, height, max_instances, chunk, backend,
+    width, height, max_instances, chunk, backend, max_row_instances,
 ):
     if backend == "pallas":
         img, overflow, t_final, last_contrib, built = _forward_pallas(
             mean2d, depth, conic, rgb, opacity, radius, valid, bg,
-            width, height, max_instances, chunk,
+            width, height, max_instances, chunk, max_row_instances,
         )
     else:
         img, overflow, t_final, last_contrib = _forward(
@@ -585,7 +842,10 @@ def _core_fwd(
     return (img, overflow), res
 
 
-def _core_bwd(width, height, max_instances, chunk, backend, res, cotangents):
+def _core_bwd(
+    width, height, max_instances, chunk, backend, max_row_instances,
+    res, cotangents,
+):
     (
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
         t_final, last_contrib, built,
@@ -629,7 +889,10 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "max_instances", "chunk", "backend"),
+    static_argnames=(
+        "width", "height", "max_instances", "chunk", "backend",
+        "max_row_instances",
+    ),
 )
 def rasterize_tiled(
     mean2d: jnp.ndarray,  # (N, 2)
@@ -645,8 +908,11 @@ def rasterize_tiled(
     max_instances: int,
     chunk: int = 1024,
     backend: str = "xla",  # "xla" | "pallas" (forward kernel choice)
+    max_row_instances: int = 0,  # > 0: tight (exact ellipse/tile) binning
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ((3, H, W) image, overflow count)."""
+    """Returns ((3, H, W) image, overflow count). overflow counts
+    instances dropped by the static capacities (tight mode adds dropped
+    tile-ROW slots); 0 = exact render."""
     return _rasterize_core(
         mean2d.astype(jnp.float32),
         depth.astype(jnp.float32),
@@ -661,4 +927,5 @@ def rasterize_tiled(
         max_instances,
         chunk,
         backend,
+        max_row_instances,
     )

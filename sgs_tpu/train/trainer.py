@@ -95,6 +95,10 @@ def training(
     state = TrainState(pool=pool, adam=adam, stats=stats)
     raster_mode = getattr(pipe, "rasterizer", "tiled")
     raster_backend = getattr(pipe, "raster_backend", "xla")
+    # tight (exact ellipse/tile) binning: Pallas backend only
+    raster_tight = (
+        getattr(pipe, "tight_culling", True) and raster_backend == "pallas"
+    )
     spatial_lr_scale = scene.cameras_extent
     active_sh_degree = 0
     first_iter = 0
@@ -118,9 +122,14 @@ def training(
     print(f"# test cameras {len(scene.getTestCameras())}")
 
     max_instances = 0
+    max_rows = 0
     if raster_mode == "tiled":
-        max_instances = instance_bucket_sample(state.pool, train_cams, py_rng)
-        print(f"instance capacity bucket: {max_instances}")
+        b = instance_bucket_sample(
+            state.pool, train_cams, py_rng, tight=raster_tight
+        )
+        max_instances, max_rows = b if raster_tight else (b, 0)
+        print(f"instance capacity bucket: {max_instances}"
+              + (f" (tight; row bucket {max_rows})" if raster_tight else ""))
 
     # ---- multi-chip camera-batch data parallelism (--parallel dp) ----
     parallel = getattr(pipe, "parallel", "none")
@@ -160,7 +169,7 @@ def training(
             lambda cam, sm: eval_render(
                 state.pool, cam, bg_color, active_sh_degree,
                 mode=raster_mode, max_instances=max_instances,
-                backend=raster_backend,
+                backend=raster_backend, max_row_instances=max_rows,
             ),
             dataset.source_path, iteration, opt.iterations,
         )
@@ -197,7 +206,8 @@ def training(
             cam_batch = stack_cameras([c.camera for c in cams_b])
             gt_batch = jnp.stack([jnp.asarray(c.gt_image) for c in cams_b])
             cam_batch, gt_batch = shard_camera_batch(cam_batch, gt_batch, mesh)
-            key = (active_sh_degree, max_instances, iteration < opt.iterations)
+            key = (active_sh_degree, max_instances, max_rows,
+                   iteration < opt.iterations)
             if key not in dp_steps:
                 dp_steps[key] = make_dp_train_step(
                     mesh, active_sh_degree,
@@ -206,6 +216,7 @@ def training(
                     mode=raster_mode, max_instances=max_instances,
                     backend=raster_backend,
                     apply_update=iteration < opt.iterations,
+                    max_row_instances=max_rows,
                 )
             state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
         else:
@@ -223,6 +234,7 @@ def training(
                 mode=raster_mode,
                 max_instances=max_instances,
                 backend=raster_backend,
+                max_row_instances=max_rows,
             )
 
         loss_val = float(metrics["loss"])
@@ -238,12 +250,15 @@ def training(
             while new_bucket < int(needed * 1.4):
                 new_bucket *= 2
             overflow_events += 1
+            new_rows = max_rows * 2 if raster_tight else 0
             print(
                 f"\n[ITER {iteration}] WARNING: instance overflow "
                 f"({ovf} splats dropped this view); bucket "
                 f"{max_instances} -> {new_bucket}"
+                + (f", rows {max_rows} -> {new_rows}" if raster_tight else "")
             )
             max_instances = new_bucket
+            max_rows = new_rows
             if tb is not None:
                 tb.add_scalar("raster/overflow_instances", ovf, iteration)
 
@@ -262,7 +277,7 @@ def training(
             training_report(
                 tsv, iteration, scene, state.pool, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
-                backend=raster_backend, tb=tb,
+                backend=raster_backend, max_row_instances=max_rows, tb=tb,
                 log_gt_images=iteration == min(testing_iterations),
             )
 
@@ -303,15 +318,18 @@ def training(
                     print(f"\n[ITER {iteration}] WARNING: dropped {dropped} "
                           "densified Gaussians (pool full)")
                 if raster_mode == "tiled":
-                    new_bucket = instance_bucket_sample(
-                        state.pool, train_cams, py_rng
+                    b = instance_bucket_sample(
+                        state.pool, train_cams, py_rng, tight=raster_tight
                     )
+                    new_bucket, new_rows = b if raster_tight else (b, 0)
                     # hysteresis: grow immediately, shrink only on a 4x
                     # drop (every bucket change recompiles the train step)
                     if new_bucket > max_instances or new_bucket * 4 <= max_instances:
                         print(f"\n[ITER {iteration}] instance bucket "
                               f"{max_instances} -> {new_bucket}")
                         max_instances = new_bucket
+                    if new_rows > max_rows or new_rows * 4 <= max_rows:
+                        max_rows = new_rows
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 dataset.white_background and iteration == opt.densify_from_iter
@@ -362,6 +380,7 @@ def _make_tb_writer(model_path: str):
 def training_report(
     tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color,
     mode: str = "reference", max_instances: int = 0, backend: str = "xla",
+    max_row_instances: int = 0,
     tb=None, full_train_set: bool = False, log_gt_images: bool = False,
 ) -> None:
     """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row.
@@ -393,6 +412,7 @@ def training_report(
             image = eval_render(
                 pool, cam.camera, bg_color, active_sh_degree,
                 mode=mode, max_instances=max_instances, backend=backend,
+                max_row_instances=max_row_instances,
             )
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
             if tb is not None and idx < 5:

@@ -57,6 +57,11 @@ class PipelineParams:
     # multi-chip training: "none" | "dp" (camera-batch data parallelism
     # over all visible devices; batch size = device count)
     parallel: str = "none"
+    # tight (exact ellipse/tile) binning for the Pallas backend: culls
+    # (Gaussian, tile) pairs whose alpha is < 1/255 everywhere in the
+    # tile — identical images up to f32 summation order, ~35% fewer
+    # instances (render/tiled.py:_x_tile_interval)
+    tight_culling: bool = True
 
     _shorthands: dict = field(default_factory=dict)
 

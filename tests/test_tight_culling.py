@@ -1,0 +1,140 @@
+"""Tight (exact ellipse/tile) binning: parity vs the rect path.
+
+The tight expansion (render/tiled.py:_build_instances_tight) culls
+(Gaussian, tile) pairs whose alpha is < 1/255 at every tile pixel — those
+contribute exactly zero in the kernels (and in the CUDA reference design,
+whose per-pixel test drops a < 1/255; see upstream forward.cu semantics at
+/root/reference's rasterizer call site gaussian_renderer/__init__.py:51).
+Images must therefore match the rect path to f32 summation-order noise,
+and gradients to the same tolerance the rect path matches the oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgs_tpu.render.tiled import (
+    instance_count,
+    instance_count_tight,
+    rasterize_tiled,
+    row_count,
+)
+
+
+def _random_scene(seed, n=400, w=96, h=80):
+    rng = np.random.default_rng(seed)
+    mean2d = jnp.asarray(
+        rng.uniform(-10, [w + 10, h + 10], (n, 2)).astype(np.float32)
+    )
+    depth = jnp.asarray(rng.uniform(0.5, 10.0, n).astype(np.float32))
+    l1 = rng.uniform(0.002, 0.5, n)
+    l2 = rng.uniform(0.002, 0.5, n)
+    th = rng.uniform(0, np.pi, n)
+    c, s = np.cos(th), np.sin(th)
+    conic = np.stack(
+        [l1 * c * c + l2 * s * s, (l1 - l2) * s * c, l1 * s * s + l2 * c * c],
+        axis=1,
+    ).astype(np.float32)
+    conic = jnp.asarray(conic)
+    rgb = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    # include opacities below 1/255 (tight culls them entirely)
+    opac = jnp.asarray(rng.uniform(0.001, 0.99, n).astype(np.float32))
+    radius = jnp.asarray(
+        np.ceil(3.0 / np.sqrt(np.minimum(l1, l2))).astype(np.int32)
+    )
+    valid = jnp.asarray(rng.uniform(size=n) > 0.1)
+    bg = jnp.asarray(rng.uniform(0, 1, 3).astype(np.float32))
+    return mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_tight_matches_rect(seed):
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(
+        seed
+    )
+    mi = int(instance_count(mean2d, radius, valid, w, h)) + 64
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    assert 0 < ti < mi - 64, "tight culling should drop instances"
+
+    def run(max_instances, max_row_instances):
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=max_instances, backend="pallas",
+                max_row_instances=max_row_instances,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return img, int(ovf), vjp_fn
+
+    img_r, ovf_r, vjp_r = run(mi, 0)
+    img_t, ovf_t, vjp_t = run(-(-ti // 256) * 256 + 256, rc)
+    assert ovf_r == 0 and ovf_t == 0
+
+    # identical composited sets -> equal up to f32 summation order
+    np.testing.assert_allclose(
+        np.asarray(img_t), np.asarray(img_r), atol=3e-6, rtol=0
+    )
+
+    ct = jnp.asarray(
+        np.random.default_rng(seed + 1)
+        .standard_normal((3, h, w))
+        .astype(np.float32)
+    )
+    g_r = vjp_r(ct)
+    g_t = vjp_t(ct)
+    names = ["mean2d", "conic", "rgb", "opac", "bg"]
+    for gr, gt_, name in zip(g_r, g_t, names):
+        scale = max(float(jnp.max(jnp.abs(gr))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(gt_), np.asarray(gr), atol=3e-3 * scale, rtol=0,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_row_overflow_reported():
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(3)
+    rc_full = int(row_count(mean2d, radius, valid, w, h))
+    rc = max(16, rc_full // 2)  # force row overflow
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    _, ovf = rasterize_tiled(
+        mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h,
+        max_instances=-(-ti // 256) * 256 + 256, backend="pallas",
+        max_row_instances=rc,
+    )
+    assert int(ovf) >= rc_full - rc
+
+
+def test_tight_count_matches_build():
+    """instance_count_tight agrees with the live-instance total of the
+    actual tight expansion."""
+    from sgs_tpu.render.tiled import _build_instances_tight
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(5)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    m = -(-ti // 256) * 256 + 512
+    tile_s, rowid_s, grank, order, ovf, num_tiles, tx, ty = (
+        _build_instances_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, m, rc
+        )
+    )
+    assert int(ovf) == 0
+    assert int(jnp.sum(tile_s < num_tiles)) == ti
