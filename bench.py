@@ -18,7 +18,7 @@ import numpy as np
 
 N_GAUSSIANS = 100_000
 WIDTH, HEIGHT = 1920, 1080
-WARMUP, ITERS = 1, 3
+WARMUP, ITERS = 2, 10
 BASELINE_FPS = 30.0
 
 
@@ -102,9 +102,11 @@ def main():
     for _ in range(WARMUP):
         jax.block_until_ready(fwd_bwd(pool))
 
+    # throughput: enqueue all iterations, block once — per-iteration
+    # blocking measures the tunnel's RPC latency, not the device
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(fwd_bwd(pool))
+    outs = [fwd_bwd(pool) for _ in range(ITERS)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt
 

@@ -33,7 +33,7 @@ def run_config(n_gaussians: int) -> dict:
     from sgs_tpu.models.gaussians import GaussianPool
     from sgs_tpu.ops.ssim import l1_loss
     from sgs_tpu.render.pipeline import render
-    from sgs_tpu.render.tiled import instance_count
+    from sgs_tpu.render.tiled import instance_count_tight, row_count
 
     rng = np.random.default_rng(0)
     # Converged-capture statistics: scene extent fixed (~2 units), splat
@@ -67,10 +67,16 @@ def run_config(n_gaussians: int) -> dict:
         pool.xyz, pool.get_covariance(), cam.world_view_transform,
         cam.full_proj_transform, cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT,
     )
+    valid = (proj["radius"] > 0) & pool.alive
+    rows = int(
+        row_count(proj["mean2d"], proj["radius"], valid, WIDTH, HEIGHT)
+    )
+    max_rows = -(-int(rows * 1.25) // 4096) * 4096
+    inputs = pool.render_inputs(0)
     total = int(
-        instance_count(
-            proj["mean2d"], proj["radius"], (proj["radius"] > 0) & pool.alive,
-            WIDTH, HEIGHT,
+        instance_count_tight(
+            proj["mean2d"], proj["conic"], inputs.opacities[..., 0],
+            proj["depth"], proj["radius"], valid, WIDTH, HEIGHT, max_rows,
         )
     )
     max_instances = -(-int(total * 1.25) // 4096) * 4096
@@ -81,6 +87,7 @@ def run_config(n_gaussians: int) -> dict:
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
+                max_row_instances=max_rows,
             )
             return l1_loss(out["render"], gt)
 
@@ -100,6 +107,7 @@ def run_config(n_gaussians: int) -> dict:
     return {
         "n_gaussians": n_gaussians,
         "instances": total,
+        "rows": rows,
         "capacity": max_instances,
         "fwd_bwd_ms": round(dt * 1e3, 2),
         "fps": round(1.0 / dt, 3),

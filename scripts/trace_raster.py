@@ -52,7 +52,9 @@ def main():
     )
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
-    max_instances = 1_548_288
+    # tight binning buckets (matches bench.py)
+    max_instances = 1_019_904
+    max_rows = 425_984
 
     @jax.jit
     def fwd_bwd(p):
@@ -60,6 +62,7 @@ def main():
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
+                max_row_instances=max_rows,
             )
             return l1_loss(out["render"], gt)
         return jax.value_and_grad(loss_fn)(p.params())

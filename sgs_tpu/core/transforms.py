@@ -110,8 +110,36 @@ def unstrip_symmetric(six: jnp.ndarray) -> jnp.ndarray:
 
 def build_covariance(scales, quats, scaling_modifier: float = 1.0) -> jnp.ndarray:
     """Activated (scale, quat) -> stripped 6-vector covariance, the public
-    `get_covariance` contract (scene/gaussian_model.py:25-29,127)."""
-    return strip_symmetric(covariance_from_scaling_rotation(scales, quats, scaling_modifier))
+    `get_covariance` contract (scene/gaussian_model.py:25-29,127).
+
+    Elementwise structure-of-arrays formulation: batched (N, 3, 3)
+    dot_generals at 3-lane width run the MXU at ~2% utilization and
+    device-trace at ~3 ms/frame at 100k Gaussians; the same math as
+    fused (N,) column arithmetic is bandwidth-noise. Same values as
+    strip_symmetric(covariance_from_scaling_rotation(...)) up to f32
+    association order."""
+    q = normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s = scaling_modifier * scales
+    v0 = s[..., 0] * s[..., 0]
+    v1 = s[..., 1] * s[..., 1]
+    v2 = s[..., 2] * s[..., 2]
+    xx = v0 * r00 * r00 + v1 * r01 * r01 + v2 * r02 * r02
+    xy = v0 * r00 * r10 + v1 * r01 * r11 + v2 * r02 * r12
+    xz = v0 * r00 * r20 + v1 * r01 * r21 + v2 * r02 * r22
+    yy = v0 * r10 * r10 + v1 * r11 * r11 + v2 * r12 * r12
+    yz = v0 * r10 * r20 + v1 * r11 * r21 + v2 * r12 * r22
+    zz = v0 * r20 * r20 + v1 * r21 * r21 + v2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:

@@ -172,10 +172,12 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
 
     fby = int(tiles_y + 1).bit_length()
     assert (n - 1).bit_length() + fby <= 31, "row-fill bit overflow"
-    assert (r_cap - 1).bit_length() <= 24, (
-        "row capacity must stay below 2^24 (level-2 fill bit budget)"
-    )
     grank_hi = jnp.arange(n, dtype=i32) << fby
+    # TWO scatter+cummax fills. Measured alternative (one fill + a
+    # monotone offs[grank] gather for the run start) is WORSE: a 426k
+    # scalar 1D gather device-traces at ~3 ms vs ~0.9 for the fill —
+    # the round-1 "gathers 18x slower" lesson holds even for monotone
+    # indices.
     f_y = jax.lax.cummax(
         jnp.zeros((r_cap,), i32).at[offs].max(
             grank_hi | min_y[order], mode="drop"
@@ -255,9 +257,15 @@ def _build_instances_tight(
     total = offs2[-1] + w[-1]
     overflow = jnp.maximum(total - m, 0) + row_overflow
 
+    # THREE scatter+cummax fills (run-start scatters are latency-bound,
+    # ~3.7 ms each at 1M instances). The measured alternative — one rid
+    # fill + monotone offs2[rid]/base[rid] gathers — is ~2.5x worse
+    # (M-scale scalar 1D gathers device-trace at ~9-23 ms; the round-1
+    # gather lesson holds even for monotone indices).
     fb = int(max(tiles_x, tiles_y)).bit_length()
     rid_hi = jnp.arange(r_cap, dtype=i32) << fb
     mask = (1 << fb) - 1
+    assert (r_cap - 1).bit_length() + fb <= 31, "level-2 fill bit overflow"
 
     def fill(vals):
         marks = jnp.zeros((m,), i32).at[offs2].max(
@@ -275,9 +283,7 @@ def _build_instances_tight(
     rid = f_x >> fb
     live = inst < jnp.minimum(total, m)
     tile_id = jnp.where(
-        live,
-        (f_ty & mask) * tiles_x + (f_x & mask) + rank2,
-        num_tiles,
+        live, (f_ty & mask) * tiles_x + (f_x & mask) + rank2, num_tiles
     ).astype(i32)
     tile_s, rowid_s = jax.lax.sort((tile_id, rid), num_keys=1, is_stable=True)
     return tile_s, rowid_s, grank, order, overflow, num_tiles, tiles_x, tiles_y
