@@ -32,10 +32,12 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(0)
-    attr = jnp.asarray(rng.normal(size=(M + CHUNK, REC)).astype(np.float32))
+    attr = jnp.asarray(rng.normal(size=(M + CHUNK, REC)).astype(np.float32))  # +CHUNK tail pad for overrun windows
     # realistic row starts: monotone, ~63 live rows apart on average
+    # 8-ALIGNED starts (tile ranges padded to sublane alignment in the
+    # sort itself): Mosaic DMA accepts these where arbitrary starts fail
     starts = np.minimum(
-        np.cumsum(rng.integers(1, CHUNK, size=ROWS)), M
+        np.cumsum(rng.integers(1, CHUNK, size=ROWS)) & ~7, M
     ).astype(np.int32)
     starts = jnp.asarray(starts)
 

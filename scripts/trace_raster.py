@@ -114,7 +114,7 @@ def main():
         by_op[e["name"]] += dur
         total += dur
     print(f"== device XLA op durations over 3 steps (ms), total {total:.1f}")
-    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:45]:
+    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:90]:
         print(f"{dur/3:9.3f}  {name[:110]}")
     print("(lane names seen:", sorted(set(tid_names.values()))[:20], ")")
 

@@ -36,11 +36,13 @@ product stays >= 1e-4" reproduces the CUDA test-before-composite latch
 exactly, and rows whose every pixel is saturated skip their VPU work
 (their DMA is pipelined and effectively free).
 
-Per-gaussian gradient reduction is ONE direct unsorted segment_sum
-(scatter-add): device-measured at 45 ms vs 95 ms for the round-2a
-"2-array sort + row gather + sorted segment_sum" (the random (2.6M, 16)
-row gather alone costs ~70 ms) and 46 ms for a full variadic sort
-pipeline (scripts/exp_reduce.py).
+Per-gaussian gradient reduction (tight path): presort-contiguous
+segment sums (reduce_grads_presort) — two split (slots, 8) grad buffers
+gathered into depth-rank-major order where each Gaussian's instances
+are contiguous, then full-lane-packed cumsum + boundary prefix
+differences. ~7 ms where the direct unsorted segment_sum's scatter-add
+lowering cost ~35 (scripts/exp_reduce3/4.py, exp_gather_model.py). The
+rect path keeps the direct segment_sum (reduce_grads).
 """
 
 from __future__ import annotations
@@ -62,7 +64,13 @@ REC = 16  # attribute lanes per instance row (10 used)
 CHUNK = 128  # instance sublanes per row
 KROWS = 8  # rows per grid step
 SROWS = 8  # per-pixel state rows: [r,g,b, t_run, t_final, last_contrib, 0,0]
-GREC = 16  # gradient record lanes: [g_mx,g_my,g_ca,g_cb,g_cc,g_op,g_r,g_g,g_b,0..]
+GREC = 8  # gradient record lanes PER BUFFER. The backward emits TWO
+# (slots, 8) f32 buffers — A: [g_mx,g_my,g_ca,g_cb,g_cc,g_op,g_r,g_g],
+# B: [g_b, 0 x7] — because the TPU random row-gather that feeds the
+# reduction cliffs on SOURCE TABLE size: a (2.06M, 16) f32 table (126 MB)
+# gathers at 22.4 ns/row, a (2.06M, 8) table (63 MB) at 4.9 ns/row
+# (scripts/exp_gather_model.py). Two 63 MB gathers beat one 126 MB
+# gather 2.2x.
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -144,6 +152,7 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
         row_last.astype(jnp.int32),
         chunk_row_start,
         n_chunks,
+        tile_start,
     )
 
 
@@ -283,8 +292,9 @@ def _bwd_kernel(
     packed_ref,  # (KROWS*CHUNK, REC)
     tfl_ref,  # (KROWS, 2, 256): [t_final, last_contrib]
     dc_ref,  # (KROWS, 3, 256) cotangent image rows
-    # outputs
-    grad_ref,  # (KROWS*CHUNK, GREC)
+    # outputs (split 8-lane buffers; see GREC comment)
+    grad_a_ref,  # (KROWS*CHUNK, GREC)
+    grad_b_ref,  # (KROWS*CHUNK, GREC)
     # scratch: suffix carries, persist across grid steps
     carry,  # (2, 256): [r_suffix, dC.s_suffix]
 ):
@@ -317,7 +327,10 @@ def _bwd_kernel(
                 + dc[2:3, :] * bg_ref[2]
             )
 
-        grad_ref[j * CHUNK:(j + 1) * CHUNK, :] = jnp.zeros(
+        grad_a_ref[j * CHUNK:(j + 1) * CHUNK, :] = jnp.zeros(
+            (CHUNK, GREC), jnp.float32
+        )
+        grad_b_ref[j * CHUNK:(j + 1) * CHUNK, :] = jnp.zeros(
             (CHUNK, GREC), jnp.float32
         )
 
@@ -402,10 +415,11 @@ def _bwd_kernel(
                 w, dc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # (CHUNK, 3)
-            grad_ref[base:base + CHUNK, 0:6] = jnp.concatenate(
+            grad_a_ref[base:base + CHUNK, 0:6] = jnp.concatenate(
                 [g_mx, g_my, g_ca, g_cb, g_cc, g_op], axis=1
             )
-            grad_ref[base:base + CHUNK, 6:9] = g_rgb
+            grad_a_ref[base:base + CHUNK, 6:8] = g_rgb[:, 0:2]
+            grad_b_ref[base:base + CHUNK, 0:1] = g_rgb[:, 2:3]
 
             # carries: total row sums
             carry[0:1, :] = r_full[0:1, :]
@@ -420,7 +434,8 @@ def backward_flat(
 
     tfl_rows: (R, 2, 256) per-row copies of [t_final, last_contrib];
     dc_rows: (R, 3, 256) per-row copies of the tile-layout cotangent.
-    Returns (R*CHUNK, GREC) f32 — reduction-ready, no reshapes.
+    Returns TWO (R*CHUNK, GREC) f32 buffers (A, B) — reduction-ready,
+    no reshapes (see the GREC comment for the split rationale).
     """
     max_rows = packed.shape[0] // CHUNK
     grid = max_rows // KROWS
@@ -439,24 +454,105 @@ def backward_flat(
         ],
         out_specs=[
             pl.BlockSpec((KROWS * CHUNK, GREC), lambda k, *_: (nb - 1 - k, 0)),
+            pl.BlockSpec((KROWS * CHUNK, GREC), lambda k, *_: (nb - 1 - k, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((2, TILE_PIXELS), jnp.float32)],
     )
-    (grads,) = pl.pallas_call(
+    grads_a, grads_b = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((max_rows * CHUNK, GREC), jnp.float32)
+            jax.ShapeDtypeStruct((max_rows * CHUNK, GREC), jnp.float32),
+            jax.ShapeDtypeStruct((max_rows * CHUNK, GREC), jnp.float32),
         ],
         interpret=interpret,
     )(
         row_tile, row_last, jnp.asarray([tiles_x, num_tiles], jnp.int32),
         bg.astype(jnp.float32), packed, tfl_rows, dc_rows,
     )
-    return grads
+    return grads_a, grads_b
 
 
-def reduce_grads(padgrad, windows, n):
+def padded_slot_of_presort(tile_start, chunk_row_start, inst_s, m, slots):
+    """slot_of_inst (m,): for every PRESORT instance index, its padded
+    slot in the kernel layout.
+
+    The padded layout inserts `pad_before(t) = chunk_row_start[t]*CHUNK -
+    tile_start[t]` dead slots before tile t's range; pad_before is
+    non-decreasing in t, so ONE scatter-at-tile-starts + cummax fill maps
+    every sorted position p to its padded slot ps[p] = p + pad_before.
+    A second cheap (key, val) int sort on the carried presort index then
+    yields ps in presort order. Dead presort instances clamp into the
+    last slot; segment boundaries never address them.
+    """
+    i32 = jnp.int32
+    pad_before = chunk_row_start * CHUNK - tile_start
+    fill = jax.lax.cummax(
+        jnp.zeros((m,), i32).at[tile_start].max(pad_before, mode="drop")
+    )
+    ps = jnp.minimum(jnp.arange(m, dtype=i32) + fill, slots - 1)
+    _, slot_of_inst = jax.lax.sort((inst_s, ps), num_keys=1, is_stable=True)
+    return slot_of_inst
+
+
+def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
+    """Per-slot gradient records -> per-ORIGINAL-GAUSSIAN (n, 9) sums,
+    via presort-contiguous segments (the tight path's reduction).
+
+    Replaces the direct unsorted segment_sum: XLA lowers that to a
+    scatter-add whose random ~36 B writes cost ~16 ns/row (32 ms + 3 ms
+    masking at 2.06M slots / 100k Gaussians, scripts/exp_reduce3/4.py).
+    Here each split grad buffer is gathered once into PRESORT order
+    (where every Gaussian's instances are contiguous), lane-packed
+    (m/16, 128) for a full-width cumsum, and segment sums come from
+    prefix differences at the N rank boundaries — two small row gathers
+    plus elementwise group math. Dead slots carry zero grads (the kernel
+    zero-fills them), so no masking pass is needed.
+
+    rank_rows: (rank_row0 (n,), rank_nrows (n,)) — rank j's level-1 rows
+    are [rank_row0[j], rank_row0[j] + rank_nrows[j]), free N-scale output
+    of the level-1 cumsum; offs2: (R+1,) CSR row pointers
+    (offs2[R] = total); order: (n,) depth rank -> original Gaussian
+    index.
+    """
+    m = slot_of_inst.shape[0]
+    r_cap = offs2.shape[0] - 1
+    gpr = 128 // GREC  # grad records per 128-lane packed row
+
+    # rank j's presort range [starts_j, ends_j)
+    rank_row0, rank_nrows = rank_rows
+    starts = offs2[jnp.minimum(rank_row0, r_cap)]
+    ends = offs2[jnp.minimum(rank_row0 + rank_nrows, r_cap)]
+
+    def seg_sum(padgrad):
+        g = padgrad[slot_of_inst]  # (m, GREC) rows, presort order
+        rows = g.reshape(m // gpr, 128)
+        cs = jnp.cumsum(rows, axis=0)
+
+        def prefix_at(pos):  # (n,) -> (n, GREC) exclusive prefix of g
+            r = pos // gpr
+            k = pos % gpr
+            nz = (r > 0)[:, None]
+            a_prev = jnp.where(
+                nz, cs[jnp.maximum(r - 1, 0)], 0.0
+            ).reshape(-1, gpr, GREC)
+            a_cur = cs[jnp.minimum(r, m // gpr - 1)].reshape(-1, gpr, GREC)
+            full = jnp.sum(a_prev, axis=1)
+            within = jnp.where(
+                jnp.arange(gpr)[None, :, None] < k[:, None, None],
+                a_cur - a_prev, 0.0,
+            ).sum(axis=1)
+            return full + within
+
+        return prefix_at(ends) - prefix_at(starts)  # (n, GREC), rank order
+
+    seg_a = seg_sum(padgrads[0])
+    seg_b = seg_sum(padgrads[1])
+    seg = jnp.concatenate([seg_a[:, :8], seg_b[:, :1]], axis=1)
+    return jnp.zeros((n, 9), jnp.float32).at[order].set(seg)
+
+
+def reduce_grads(padgrads, windows, n):
     """Per-slot gradient records -> per-ORIGINAL-GAUSSIAN (n, 9) sums.
 
     ONE direct unsorted scatter-add on the kernel's native (slots, GREC)
@@ -468,9 +564,11 @@ def reduce_grads(padgrad, windows, n):
     carry key >= n and drop. windows holds ORIGINAL gaussian ids (no
     inverse-permutation pass needed).
     """
-    slots = padgrad.shape[0]
+    pad_a, pad_b = padgrads
+    slots = pad_a.shape[0]
     keys = windows.reshape(slots)
-    vals = jnp.where((keys < n)[:, None], padgrad[:, :9], 0.0)
+    padgrad = jnp.concatenate([pad_a[:, :8], pad_b[:, :1]], axis=1)
+    vals = jnp.where((keys < n)[:, None], padgrad, 0.0)
     return jax.ops.segment_sum(
         vals, jnp.minimum(keys, n - 1), num_segments=n
     )

@@ -210,7 +210,8 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
     )
     w = jnp.where(row_live, jnp.maximum(txhi - txlo, 0), 0)
     return (
-        order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y
+        order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
+        offs, counts_o,
     )
 
 
@@ -244,7 +245,8 @@ def _build_instances_tight(
     per-tile depth order, exactly like the rect path."""
     i32 = jnp.int32
     m = max_instances
-    (order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y) = (
+    (order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
+     rank_row0, rank_nrows) = (
         _expand_rows(
             mean2d, conic, opacity, depth, radius, valid,
             width, height, max_row_instances,
@@ -285,8 +287,23 @@ def _build_instances_tight(
     tile_id = jnp.where(
         live, (f_ty & mask) * tiles_x + (f_x & mask) + rank2, num_tiles
     ).astype(i32)
-    tile_s, rowid_s = jax.lax.sort((tile_id, rid), num_keys=1, is_stable=True)
-    return tile_s, rowid_s, grank, order, overflow, num_tiles, tiles_x, tiles_y
+    # carry the PRESORT instance index through the sort: the backward's
+    # per-Gaussian reduction runs over presort order, where every
+    # Gaussian's instances are contiguous (depth-rank-major emission)
+    tile_s, rowid_s, inst_s = jax.lax.sort(
+        (tile_id, rid, inst), num_keys=1, is_stable=True
+    )
+    # CSR-style row pointers: offs2_ptr[j] = first instance of row j,
+    # offs2_ptr[r_cap] = total; rank n's rows are
+    # [rank_row0[n], rank_row0[n] + rank_nrows[n]) (N-scale, free from
+    # the level-1 cumsum — NO searchsorted over grank, whose log-step
+    # N-from-R gathers device-trace at ~25 ms total)
+    offs2_ptr = jnp.concatenate([offs2, (offs2[-1] + w[-1])[None]])
+    rank_rows = (rank_row0, rank_nrows)
+    return (
+        tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order,
+        overflow, num_tiles, tiles_x, tiles_y,
+    )
 
 
 def _segmented_cumprod(u: jnp.ndarray, boundary: jnp.ndarray) -> jnp.ndarray:
@@ -495,8 +512,10 @@ def _forward_pallas(
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
+    tight_extras = None
     if max_row_instances > 0:
-        tile_s, rowid_s, grank, order, overflow, num_tiles, tiles_x, tiles_y = (
+        (tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order,
+         overflow, num_tiles, tiles_x, tiles_y) = (
             _build_instances_tight(
                 mean2d, conic, opacity, depth, radius, valid,
                 width, height, max_instances, max_row_instances,
@@ -514,9 +533,17 @@ def _forward_pallas(
         )
         attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
     max_rows = fr.num_rows(max_instances, num_tiles)
-    packed, windows, row_tile, row_first, row_last, crs, nch = fr.pack_rows(
-        attr_sorted, tile_s, num_tiles, max_rows
+    packed, windows, row_tile, row_first, row_last, crs, nch, tile_start = (
+        fr.pack_rows(attr_sorted, tile_s, num_tiles, max_rows)
     )
+    if max_row_instances > 0:
+        slot_of_inst = fr.padded_slot_of_presort(
+            tile_start, crs, inst_s, max_instances, max_rows * fr.CHUNK
+        )
+        tight_extras = {
+            "slot_of_inst": slot_of_inst, "rank_rows": rank_rows,
+            "offs2_ptr": offs2_ptr, "order": order,
+        }
     interpret = jax.default_backend() == "cpu"
     colors, t_final, last_contrib = fr.forward_flat(
         packed, row_tile, row_first, crs, nch, num_tiles, tiles_x,
@@ -529,7 +556,7 @@ def _forward_pallas(
     img = img[:, :height, :width]
     built = {
         "packed": packed, "windows": windows, "row_tile": row_tile,
-        "row_last": row_last,
+        "row_last": row_last, "tight": tight_extras,
     }
     return img, overflow, t_final, last_contrib, built
 
@@ -658,13 +685,23 @@ def _backward_pallas_host(
     tfl_rows = tfl_tiles[safe_tile]
     dc_rows = dC[safe_tile]
     interpret = jax.default_backend() == "cpu"
-    padgrad = fr.backward_flat(
+    padgrads = fr.backward_flat(
         packed, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
         interpret=interpret,
     )
-    # windows key on ORIGINAL gaussian ids, so this is already in original
-    # order — no inverse-permutation scatter (22 ms device-side at 100k)
-    d = fr.reduce_grads(padgrad, windows, n)  # (n, 9)
+    tight = built.get("tight")
+    if tight is not None:
+        # presort-contiguous reduction (no scatter-add; see
+        # flat_raster.reduce_grads_presort)
+        d = fr.reduce_grads_presort(
+            padgrads, tight["slot_of_inst"], tight["rank_rows"],
+            tight["offs2_ptr"], tight["order"], n,
+        )
+    else:
+        # windows key on ORIGINAL gaussian ids, so this is already in
+        # original order — no inverse-permutation scatter
+        d = fr.reduce_grads(padgrads, windows, n)  # (n, 9)
+    # layout: [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_r, g_g, g_b]
     return d[:, 0:2], d[:, 2:5], d[:, 6:9], d[:, 5]
 
 

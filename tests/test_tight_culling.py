@@ -131,7 +131,8 @@ def test_tight_count_matches_build():
         )
     )
     m = -(-ti // 256) * 256 + 512
-    tile_s, rowid_s, grank, order, ovf, num_tiles, tx, ty = (
+    (tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order, ovf,
+     num_tiles, tx, ty) = (
         _build_instances_tight(
             mean2d, conic, opac, depth, radius, valid, w, h, m, rc
         )
