@@ -100,8 +100,8 @@ def run_config(n_gaussians: int) -> dict:
     jax.block_until_ready(fwd_bwd(pool))  # warmup
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(fwd_bwd(pool))
+    outs = [fwd_bwd(pool) for _ in range(ITERS)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / ITERS
 
     return {
