@@ -5,6 +5,11 @@ Renders + differentiates a 100k-Gaussian synthetic scene at 1920x1080
 through the current production render path and reports frames/sec for a
 full forward+backward (the BASELINE.md target is >= 30 fps @ 1080p/chip).
 
+With --ply <point_cloud.ply> the synthetic statistics are replaced by an
+ACTUAL trained model snapshot (any reference-format 3DGS PLY, e.g. a
+`point_cloud/iteration_30000/point_cloud.ply` from train.py): the camera
+auto-frames the model's bounding sphere. Same measurement otherwise.
+
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -22,6 +27,21 @@ WARMUP, ITERS = 2, 10
 BASELINE_FPS = 30.0
 
 
+def _ply_pool(path, sh_degree=3):
+    """Pool + framing camera distance from a trained PLY snapshot."""
+    from sgs_tpu.data.ply import load_gaussian_ply
+    from sgs_tpu.data.scene import pool_from_arrays
+
+    arrays = load_gaussian_ply(path, sh_degree)
+    n = arrays["xyz"].shape[0]
+    pool = pool_from_arrays(arrays, sh_degree, capacity=-(-n // 4096) * 4096)
+    center = arrays["xyz"].mean(axis=0)
+    radius = float(
+        np.percentile(np.linalg.norm(arrays["xyz"] - center, axis=1), 97)
+    )
+    return pool, center, radius, n
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -34,29 +54,43 @@ def main():
 
     import jax.numpy as _jnp
 
-    rng = np.random.default_rng(0)
-    # trained-model statistics: small anisotropic splats (screen footprint
-    # ~1-2 tiles) with mostly-opaque alphas, object ~2 units across viewed
-    # from ~4.5 units — matching converged capture scenes rather than the
-    # fat isotropic 3-NN init state.
-    pts = (rng.normal(size=(N_GAUSSIANS, 3)) * 0.6).astype(np.float32)
-    cols = rng.uniform(size=(N_GAUSSIANS, 3)).astype(np.float32)
-    pool = GaussianPool.from_pcd(
-        pts, cols, 3, capacity=N_GAUSSIANS,
-        knn_dist2=np.full((N_GAUSSIANS,), 1e-4, np.float32),
-    )
-    log_s = rng.uniform(-5.2, -3.6, (N_GAUSSIANS, 3)).astype(np.float32)
-    opac_logit = rng.uniform(-1.0, 4.0, (N_GAUSSIANS, 1)).astype(np.float32)
-    pool = pool.replace(
-        scaling=pool.scaling.at[:].set(_jnp.asarray(log_s)),
-        opacity=pool.opacity.at[:].set(_jnp.asarray(opac_logit)),
-    )
+    ply_path = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ply":
+        ply_path = sys.argv[2]
 
     fovx = math.radians(60)
     fovy = focal2fov(fov2focal(fovx, WIDTH), HEIGHT)
-    cam = Camera.from_Rt(
-        np.eye(3), np.array([0.0, 0.0, 4.5]), fovx, fovy, WIDTH, HEIGHT
-    )
+    if ply_path:
+        pool, center, radius, n = _ply_pool(ply_path)
+        print(f"# ply model: {n} gaussians, extent r={radius:.2f}",
+              file=sys.stderr)
+        # frame the bounding sphere at ~2.2 radii (typical capture orbit)
+        dist = 2.2 * max(radius, 1e-3)
+        cam = Camera.from_Rt(
+            np.eye(3), np.array([-center[0], -center[1], -center[2] + dist]),
+            fovx, fovy, WIDTH, HEIGHT,
+        )
+    else:
+        rng = np.random.default_rng(0)
+        # trained-model statistics: small anisotropic splats (screen
+        # footprint ~1-2 tiles) with mostly-opaque alphas, object ~2 units
+        # across viewed from ~4.5 units — matching converged capture
+        # scenes rather than the fat isotropic 3-NN init state.
+        pts = (rng.normal(size=(N_GAUSSIANS, 3)) * 0.6).astype(np.float32)
+        cols = rng.uniform(size=(N_GAUSSIANS, 3)).astype(np.float32)
+        pool = GaussianPool.from_pcd(
+            pts, cols, 3, capacity=N_GAUSSIANS,
+            knn_dist2=np.full((N_GAUSSIANS,), 1e-4, np.float32),
+        )
+        log_s = rng.uniform(-5.2, -3.6, (N_GAUSSIANS, 3)).astype(np.float32)
+        opac_logit = rng.uniform(-1.0, 4.0, (N_GAUSSIANS, 1)).astype(np.float32)
+        pool = pool.replace(
+            scaling=pool.scaling.at[:].set(_jnp.asarray(log_s)),
+            opacity=pool.opacity.at[:].set(_jnp.asarray(opac_logit)),
+        )
+        cam = Camera.from_Rt(
+            np.eye(3), np.array([0.0, 0.0, 4.5]), fovx, fovy, WIDTH, HEIGHT
+        )
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
@@ -110,10 +144,13 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     fps = 1.0 / dt
 
+    metric = "1080p_fwd_bwd_frames_per_sec_per_chip"
+    if ply_path:
+        metric += "_ply"
     print(
         json.dumps(
             {
-                "metric": "1080p_fwd_bwd_frames_per_sec_per_chip",
+                "metric": metric,
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
