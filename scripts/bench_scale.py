@@ -100,8 +100,15 @@ def run_config(n_gaussians: int) -> dict:
     jax.block_until_ready(fwd_bwd(pool))  # warmup
 
     t0 = time.perf_counter()
-    outs = [fwd_bwd(pool) for _ in range(ITERS)]
-    jax.block_until_ready(outs)
+    if n_gaussians >= 1_000_000:
+        # frames are 100s of ms here: tunnel RPC latency is noise, and
+        # enqueueing all iterations keeps ITERS copies of the 1 GB-scale
+        # gradient outputs alive (runtime OOM at 5M)
+        for _ in range(ITERS):
+            jax.block_until_ready(fwd_bwd(pool))
+    else:
+        outs = [fwd_bwd(pool) for _ in range(ITERS)]
+        jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / ITERS
 
     return {

@@ -64,13 +64,19 @@ REC = 16  # attribute lanes per instance row (10 used)
 CHUNK = 128  # instance sublanes per row
 KROWS = 8  # rows per grid step
 SROWS = 8  # per-pixel state rows: [r,g,b, t_run, t_final, last_contrib, 0,0]
-GREC = 8  # gradient record lanes PER BUFFER. The backward emits TWO
-# (slots, 8) f32 buffers — A: [g_mx,g_my,g_ca,g_cb,g_cc,g_op,g_r,g_g],
-# B: [g_b, 0 x7] — because the TPU random row-gather that feeds the
-# reduction cliffs on SOURCE TABLE size: a (2.06M, 16) f32 table (126 MB)
-# gathers at 22.4 ns/row, a (2.06M, 8) table (63 MB) at 4.9 ns/row
-# (scripts/exp_gather_model.py). Two 63 MB gathers beat one 126 MB
-# gather 2.2x.
+GRECT = 16  # transposed grad-record SUBLANES: the backward emits ONE
+# (GRECT, slots) buffer, rows [g_mx,g_my,g_ca,g_cb,g_cc,g_op,g_r,g_g,
+# g_b, 0 x7] — compact under the Pallas-forced {1,0} layout. A
+# (slots, k) output would lane-pad k -> 128 (512 B/slot for ANY k<=128):
+# at 5M Gaussians that is 2 x 8 GB of grad buffers alone (the round-2
+# OOM), and ~2 GB of dead write traffic per frame at 100k.
+GREC = 8  # gradient record lanes PER REDUCTION BUFFER: the reduction
+# gathers from TWO (slots, 8) XLA-side transposes of the kernel output
+# — A: rows 0:8 = [g_mx,g_my,g_ca,g_cb,g_cc,g_op,g_r,g_g], B: rows 8:16
+# = [g_b, 0 x7] — because the TPU random row-gather cliffs on LOGICAL
+# row width: 16-lane rows gather at 22.4 ns/row, 8-lane rows at 4.9,
+# independent of source layout (scripts/exp_gather_model.py,
+# exp_gather_layout.py).
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -163,7 +169,7 @@ def _fwd_kernel(
     # scalar prefetch
     row_tile_ref, row_first_ref, meta_ref,  # meta: [tiles_x, num_tiles]
     # inputs (auto-pipelined blocks)
-    packed_ref,  # (KROWS*CHUNK, REC)
+    packed_ref,  # (REC, KROWS*CHUNK) — transposed, compact in HBM
     # outputs
     out_ref,  # (KROWS, SROWS, 256)
     # scratch: per-pixel running state, persists across grid steps
@@ -197,7 +203,12 @@ def _fwd_kernel(
         # dead padding rows (sentinel tile id)
         @pl.when((t < num_tiles) & jnp.any(t_row >= TRANSMITTANCE_EPS))
         def _():
-            rec = packed_ref[j * CHUNK:(j + 1) * CHUNK, :]  # (CHUNK, REC)
+            # in-register (REC, CHUNK) -> (CHUNK, REC) transpose: the
+            # compute wants instances on sublanes; HBM wants the
+            # transposed compact layout (see forward_flat docstring)
+            rec = jnp.transpose(
+                packed_ref[:, j * CHUNK:(j + 1) * CHUNK]
+            )  # (CHUNK, REC)
             mean_x = rec[:, 0:1]  # (CHUNK, 1)
             mean_y = rec[:, 1:2]
             ca = rec[:, 2:3]
@@ -243,18 +254,25 @@ def _fwd_kernel(
 
 
 def forward_flat(
-    packed, row_tile, row_first, chunk_row_start, n_chunks,
+    packed_t, row_tile, row_first, chunk_row_start, n_chunks,
     num_tiles, tiles_x, interpret=False,
 ):
-    """Returns (colors (T,3,256), t_final (T,256), last_contrib (T,256)
+    """packed_t: (REC, slots) TRANSPOSED packed records. Pallas forces
+    the {1,0} row-major layout on kernel operands, so a (slots, 16)
+    operand is lane-padded 16 -> 128 — an 8x HBM expansion (8 GB and an
+    OOM at the 5M-Gaussian config, ~1 GB of dead streaming per pass at
+    100k). The transposed operand is compact; kernels transpose each
+    (REC, CHUNK) row slice back in-register.
+
+    Returns (colors (T,3,256), t_final (T,256), last_contrib (T,256)
     f32 padded-slot positions)."""
-    max_rows = packed.shape[0] // CHUNK
+    max_rows = packed_t.shape[1] // CHUNK
     grid = max_rows // KROWS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((KROWS * CHUNK, REC), lambda k, *_: (k, 0)),
+            pl.BlockSpec((REC, KROWS * CHUNK), lambda k, *_: (0, k)),
         ],
         out_specs=[
             pl.BlockSpec((KROWS, SROWS, TILE_PIXELS), lambda k, *_: (k, 0, 0)),
@@ -270,7 +288,7 @@ def forward_flat(
         interpret=interpret,
     )(
         row_tile, row_first,
-        jnp.asarray([tiles_x, num_tiles], jnp.int32), packed,
+        jnp.asarray([tiles_x, num_tiles], jnp.int32), packed_t,
     )
     # each tile's final state lives at its LAST row
     last_row = jnp.clip(chunk_row_start + n_chunks - 1, 0, max_rows - 1)
@@ -289,12 +307,11 @@ def _bwd_kernel(
     # scalar prefetch
     row_tile_ref, row_last_ref, meta_ref, bg_ref,  # meta: [tiles_x, num_tiles]
     # inputs (blocks walked in reverse)
-    packed_ref,  # (KROWS*CHUNK, REC)
+    packed_ref,  # (REC, KROWS*CHUNK) — transposed, compact in HBM
     tfl_ref,  # (KROWS, 2, 256): [t_final, last_contrib]
     dc_ref,  # (KROWS, 3, 256) cotangent image rows
-    # outputs (split 8-lane buffers; see GREC comment)
-    grad_a_ref,  # (KROWS*CHUNK, GREC)
-    grad_b_ref,  # (KROWS*CHUNK, GREC)
+    # outputs: ONE transposed compact grad buffer (see GRECT comment)
+    grad_ref,  # (GRECT, KROWS*CHUNK)
     # scratch: suffix carries, persist across grid steps
     carry,  # (2, 256): [r_suffix, dC.s_suffix]
 ):
@@ -327,11 +344,8 @@ def _bwd_kernel(
                 + dc[2:3, :] * bg_ref[2]
             )
 
-        grad_a_ref[j * CHUNK:(j + 1) * CHUNK, :] = jnp.zeros(
-            (CHUNK, GREC), jnp.float32
-        )
-        grad_b_ref[j * CHUNK:(j + 1) * CHUNK, :] = jnp.zeros(
-            (CHUNK, GREC), jnp.float32
+        grad_ref[:, j * CHUNK:(j + 1) * CHUNK] = jnp.zeros(
+            (GRECT, CHUNK), jnp.float32
         )
 
         # rows entirely past the tile's last contributor have zero grads
@@ -344,7 +358,9 @@ def _bwd_kernel(
             r_old = carry[0:1, :]  # (1, 256)
             sdc_old = carry[1:2, :]  # (1, 256): dC . suffix carry
 
-            rec = packed_ref[j * CHUNK:(j + 1) * CHUNK, :]
+            rec = jnp.transpose(
+                packed_ref[:, j * CHUNK:(j + 1) * CHUNK]
+            )  # (CHUNK, REC)
             mean_x = rec[:, 0:1]
             mean_y = rec[:, 1:2]
             ca = rec[:, 2:3]
@@ -415,11 +431,14 @@ def _bwd_kernel(
                 w, dc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
             )  # (CHUNK, 3)
-            grad_a_ref[base:base + CHUNK, 0:6] = jnp.concatenate(
-                [g_mx, g_my, g_ca, g_cb, g_cc, g_op], axis=1
-            )
-            grad_a_ref[base:base + CHUNK, 6:8] = g_rgb[:, 0:2]
-            grad_b_ref[base:base + CHUNK, 0:1] = g_rgb[:, 2:3]
+            g_all = jnp.concatenate(
+                [
+                    g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_rgb,
+                    jnp.zeros((CHUNK, GRECT - 9), jnp.float32),
+                ],
+                axis=1,
+            )  # (CHUNK, GRECT)
+            grad_ref[:, base:base + CHUNK] = jnp.transpose(g_all)
 
             # carries: total row sums
             carry[0:1, :] = r_full[0:1, :]
@@ -427,24 +446,25 @@ def _bwd_kernel(
 
 
 def backward_flat(
-    packed, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
+    packed_t, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
     interpret=False,
 ):
     """Per-slot gradient records for the padded row layout.
 
+    packed_t: (REC, slots) transposed records (see forward_flat);
     tfl_rows: (R, 2, 256) per-row copies of [t_final, last_contrib];
     dc_rows: (R, 3, 256) per-row copies of the tile-layout cotangent.
-    Returns TWO (R*CHUNK, GREC) f32 buffers (A, B) — reduction-ready,
-    no reshapes (see the GREC comment for the split rationale).
+    Returns ONE (GRECT, slots) f32 buffer — compact under the Pallas
+    {1,0} layout (see the GRECT comment).
     """
-    max_rows = packed.shape[0] // CHUNK
+    max_rows = packed_t.shape[1] // CHUNK
     grid = max_rows // KROWS
     nb = grid
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((KROWS * CHUNK, REC), lambda k, *_: (nb - 1 - k, 0)),
+            pl.BlockSpec((REC, KROWS * CHUNK), lambda k, *_: (0, nb - 1 - k)),
             pl.BlockSpec(
                 (KROWS, 2, TILE_PIXELS), lambda k, *_: (nb - 1 - k, 0, 0)
             ),
@@ -453,24 +473,24 @@ def backward_flat(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((KROWS * CHUNK, GREC), lambda k, *_: (nb - 1 - k, 0)),
-            pl.BlockSpec((KROWS * CHUNK, GREC), lambda k, *_: (nb - 1 - k, 0)),
+            pl.BlockSpec(
+                (GRECT, KROWS * CHUNK), lambda k, *_: (0, nb - 1 - k)
+            ),
         ],
         scratch_shapes=[pltpu.VMEM((2, TILE_PIXELS), jnp.float32)],
     )
-    grads_a, grads_b = pl.pallas_call(
+    (grads_t,) = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((max_rows * CHUNK, GREC), jnp.float32),
-            jax.ShapeDtypeStruct((max_rows * CHUNK, GREC), jnp.float32),
+            jax.ShapeDtypeStruct((GRECT, max_rows * CHUNK), jnp.float32),
         ],
         interpret=interpret,
     )(
         row_tile, row_last, jnp.asarray([tiles_x, num_tiles], jnp.int32),
-        bg.astype(jnp.float32), packed, tfl_rows, dc_rows,
+        bg.astype(jnp.float32), packed_t, tfl_rows, dc_rows,
     )
-    return grads_a, grads_b
+    return grads_t
 
 
 def padded_slot_of_presort(tile_start, chunk_row_start, inst_s, m, slots):

@@ -545,8 +545,11 @@ def _forward_pallas(
             "offs2_ptr": offs2_ptr, "order": order,
         }
     interpret = jax.default_backend() == "cpu"
+    # transposed (REC, slots) kernel operand: compact under the Pallas
+    # {1,0} layout (a (slots, 16) operand would be lane-padded 8x)
+    packed_t = jnp.transpose(packed)
     colors, t_final, last_contrib = fr.forward_flat(
-        packed, row_tile, row_first, crs, nch, num_tiles, tiles_x,
+        packed_t, row_tile, row_first, crs, nch, num_tiles, tiles_x,
         interpret=interpret,
     )
     # channel-first tile layout (T, 3, 256) assembles straight into (3, H, W)
@@ -555,7 +558,7 @@ def _forward_pallas(
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, tiles_y * TILE, tiles_x * TILE)
     img = img[:, :height, :width]
     built = {
-        "packed": packed, "windows": windows, "row_tile": row_tile,
+        "packed_t": packed_t, "windows": windows, "row_tile": row_tile,
         "row_last": row_last, "tight": tight_extras,
     }
     return img, overflow, t_final, last_contrib, built
@@ -676,7 +679,7 @@ def _backward_pallas_host(
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
-    packed, windows = built["packed"], built["windows"]
+    packed_t, windows = built["packed_t"], built["windows"]
     row_tile, row_last = built["row_tile"], built["row_last"]
 
     dC = _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y)
@@ -685,9 +688,15 @@ def _backward_pallas_host(
     tfl_rows = tfl_tiles[safe_tile]
     dc_rows = dC[safe_tile]
     interpret = jax.default_backend() == "cpu"
-    padgrads = fr.backward_flat(
-        packed, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
-        interpret=interpret,
+    grads_t = fr.backward_flat(
+        packed_t, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x,
+        num_tiles, interpret=interpret,
+    )
+    # split (slots, 8) halves for the fast (<=8-lane-row) reduction
+    # gathers; compact-to-compact XLA transposes
+    padgrads = (
+        jnp.transpose(grads_t[0:8]),  # mx,my,ca,cb,cc,op,r,g
+        jnp.transpose(grads_t[8:16]),  # b, zeros
     )
     tight = built.get("tight")
     if tight is not None:
