@@ -121,17 +121,18 @@ def main():
         mean2d, conic, rgb, opac, permi, g_s,
     )
     packf = jax.jit(fr.pack_rows, static_argnums=(2, 3))
-    packed, windows, row_tile, row_first, row_last, crs, nch = bench(
+    packed, windows, row_tile, row_first, row_last, crs, nch, tstart = bench(
         "packing (pack_rows)",
         lambda *a: packf(*a, num_tiles, max_rows),
         attr_sorted, tile_s,
     )
+    packed_t = jax.jit(jnp.transpose)(packed)
 
     fwd_kern = jax.jit(fr.forward_flat, static_argnums=(5, 6))
     colors, t_final, last_contrib = bench(
         "Pallas forward kernel (flat)",
         lambda *a: fwd_kern(*a, num_tiles, tiles_x),
-        packed, row_tile, row_first, crs, nch,
+        packed_t, row_tile, row_first, crs, nch,
     )
 
     # full forward via public entry
@@ -153,15 +154,19 @@ def main():
     tfl_rows = jnp.stack([t_final, last_contrib], axis=1)[safe_tile]
     dc_rows = dC[safe_tile]
     bwd_kern = jax.jit(fr.backward_flat, static_argnums=(6, 7))
-    padgrad = bench(
+    grads_t = bench(
         "Pallas backward kernel (flat)",
         lambda *a: bwd_kern(*a, tiles_x, num_tiles),
-        packed, row_tile, row_last, bg, tfl_rows, dc_rows,
+        packed_t, row_tile, row_last, bg, tfl_rows, dc_rows,
+    )
+    padgrads = (
+        jax.jit(jnp.transpose)(grads_t[0:8]),
+        jax.jit(jnp.transpose)(grads_t[8:16]),
     )
     bench(
-        "grad reduction (reduce_grads)",
+        "grad reduction (reduce_grads, rect-path)",
         lambda *a: jax.jit(fr.reduce_grads, static_argnums=2)(*a, N_GAUSSIANS),
-        padgrad, windows,
+        padgrads, windows,
     )
 
     # full loss fwd+bwd

@@ -30,7 +30,8 @@ LGM_EPS = 1e-15
 
 def make_lgm_train_step(
     lambda_dssim: float, active_sh_degree: int, optimizer,
-    mode: str = "tiled", max_instances: int = 0,
+    mode: str = "tiled", max_instances: int = 0, backend: str = "xla",
+    max_row_instances: int = 0,
 ):
     @jax.jit
     def step(params, opt_state, static_model, camera, gt_image, bg):
@@ -39,6 +40,7 @@ def make_lgm_train_step(
             out = render(
                 camera, model.render_inputs(active_sh_degree), bg,
                 mode=mode, max_instances=max_instances or None,
+                backend=backend, max_row_instances=max_row_instances,
             )
             image = out["render"]
             ll1 = l1_loss(image, gt_image)
@@ -142,12 +144,20 @@ def training_lgm(
     # over the (typically fat) initial footprint holds for the whole run
     raster_mode = getattr(pipe, "rasterizer", "tiled")
     raster_backend = getattr(pipe, "raster_backend", "xla")
+    raster_tight = (
+        getattr(pipe, "tight_culling", True) and raster_backend == "pallas"
+    )
     max_instances = 0
+    max_rows = 0
     if raster_mode == "tiled":
         import math as _math
 
         from sgs_tpu.core.projection import project_gaussians
-        from sgs_tpu.render.tiled import instance_count
+        from sgs_tpu.render.tiled import (
+            instance_count,
+            instance_count_tight,
+            row_count,
+        )
 
         gi = model.render_inputs(active_sh_degree)
         cam0 = scene.getTrainCameras()[0].camera
@@ -159,16 +169,31 @@ def training_lgm(
             cam0.full_proj_transform, cam0.tanfovx, cam0.tanfovy,
             cam0.image_width, cam0.image_height,
         )
-        total = int(instance_count(
-            proj["mean2d"], proj["radius"], proj["radius"] > 0,
-            cam0.image_width, cam0.image_height,
-        ))
+        valid = proj["radius"] > 0
+        if raster_tight:
+            rows = int(row_count(
+                proj["mean2d"], proj["radius"], valid,
+                cam0.image_width, cam0.image_height,
+            ))
+            max_rows = 1 << _math.ceil(_math.log2(max(4096, int(rows * 1.5))))
+            total = int(instance_count_tight(
+                proj["mean2d"], proj["conic"], gi.opacities[..., 0],
+                proj["depth"], proj["radius"], valid,
+                cam0.image_width, cam0.image_height, max_rows,
+            ))
+        else:
+            total = int(instance_count(
+                proj["mean2d"], proj["radius"], valid,
+                cam0.image_width, cam0.image_height,
+            ))
         max_instances = 1 << _math.ceil(_math.log2(max(4096, int(total * 1.5))))
-        print(f"instance capacity bucket: {max_instances}")
+        print(f"instance capacity bucket: {max_instances}"
+              + (f" (tight; row bucket {max_rows})" if raster_tight else ""))
 
     step_fn = make_lgm_train_step(
         opt.lambda_dssim, active_sh_degree, optimizer,
         mode=raster_mode, max_instances=max_instances,
+        backend=raster_backend, max_row_instances=max_rows,
     )
 
     bg_color = jnp.asarray(
@@ -188,6 +213,7 @@ def training_lgm(
                     model.with_params(params).render_inputs(active_sh_degree),
                     bg_color, scaling_modifier=sm,
                     mode=raster_mode, max_instances=max_instances or None,
+                    backend=raster_backend, max_row_instances=max_rows,
                 )["render"], 0.0, 1.0,
             ),
             dataset.source_path, iteration, opt.iterations,
@@ -214,6 +240,7 @@ def training_lgm(
             report_lgm(
                 iteration, scene, model_now, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
+                backend=raster_backend, max_row_instances=max_rows,
             )
 
         if iteration in saving_iterations:
@@ -243,7 +270,8 @@ def training_lgm(
 
 
 def report_lgm(iteration, scene, model, active_sh_degree, bg_color,
-               mode="tiled", max_instances=0):
+               mode="tiled", max_instances=0, backend="xla",
+               max_row_instances=0):
     for name, cams in (
         ("test", scene.getTestCameras()),
         ("train", scene.getTrainCameras()[:8]),
@@ -256,6 +284,7 @@ def report_lgm(iteration, scene, model, active_sh_degree, bg_color,
             out = render(
                 cam.camera, inputs, bg_color,
                 mode=mode, max_instances=max_instances or None,
+                backend=backend, max_row_instances=max_row_instances,
             )
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)

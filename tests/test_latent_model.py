@@ -246,3 +246,38 @@ def test_lgm_e2e_render_training(tmp_path):
     assert os.path.exists(
         os.path.join(dataset.model_path, "point_cloud/iteration_120/point_cloud.ply")
     )
+
+
+@pytest.mark.slow
+def test_lgm_pallas_tight_training(tmp_path):
+    """LGM trainer on the PALLAS backend with tight culling (the
+    production TPU configuration; the step previously silently fell back
+    to the XLA oracle backend)."""
+    from sgs_tpu.utils.toy_scene import make_blender_dataset
+    from sgs_tpu.utils.config import ModelParams, OptimizationParams, PipelineParams
+    from sgs_tpu.data.scene import Scene
+    from sgs_tpu.train.lgm_trainer import training_lgm
+    from sgs_tpu.ops.ssim import psnr
+    from sgs_tpu.render.pipeline import render
+
+    src = str(tmp_path / "scene")
+    make_blender_dataset(src, n_train=6, n_test=2, width=40, height=40,
+                         n_gaussians=60, seed=13)
+    dataset = ModelParams(
+        source_path=src, model_path=str(tmp_path / "model"),
+        white_background=True, eval=True, sh_degree=0,
+    )
+    opt = OptimizationParams(iterations=60)
+    pipe = PipelineParams(no_tqdm=True, raster_backend="pallas")
+    scene = Scene(dataset, pool_capacity=1024, downsample_init=100.0)
+
+    model = training_lgm(
+        dataset, opt, pipe,
+        testing_iterations=[60], saving_iterations=[],
+        checkpoint_iterations=[], scene=scene,
+    )
+    cam = scene.getTrainCameras()[0]
+    out = render(cam.camera, model.render_inputs(0), jnp.ones(3))
+    img = jnp.clip(out["render"], 0, 1)
+    val = float(psnr(img, jnp.asarray(cam.gt_image)))
+    assert val > 10.0, val
