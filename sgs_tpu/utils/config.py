@@ -55,8 +55,12 @@ class PipelineParams:
     rasterizer: str = "tiled"  # "tiled" (production) | "reference" (oracle)
     raster_backend: str = "xla"  # "xla" | "pallas" forward kernel
     # multi-chip training: "none" | "dp" (camera-batch data parallelism
-    # over all visible devices; batch size = device count)
+    # over all visible devices; batch size = device count) | "hybrid"
+    # (2D camera-DP x Gaussian-shard mesh; see parallel/hybrid.py)
     parallel: str = "none"
+    # hybrid mesh shape "DxG" (data x gauss), e.g. "2x4"; empty = one
+    # data row over all local devices (make_hybrid_mesh default)
+    parallel_mesh: str = ""
     # tight (exact ellipse/tile) binning for the Pallas backend: culls
     # (Gaussian, tile) pairs whose alpha is < 1/255 everywhere in the
     # tile — identical images up to f32 summation order, ~35% fewer
