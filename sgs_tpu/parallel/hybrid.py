@@ -22,7 +22,6 @@ from jax.sharding import PartitionSpec as P
 
 from sgs_tpu.core import sh as sh_lib
 from sgs_tpu.core import transforms
-from sgs_tpu.core.camera import Camera
 from sgs_tpu.core.projection import project_gaussians
 from sgs_tpu.parallel.tile_shard import band_height
 from sgs_tpu.render.tiled import rasterize_tiled
