@@ -259,34 +259,50 @@ def _build_instances_tight(
     total = offs2[-1] + w[-1]
     overflow = jnp.maximum(total - m, 0) + row_overflow
 
-    # THREE scatter+cummax fills (run-start scatters are latency-bound,
-    # ~3.7 ms each at 1M instances). The measured alternative — one rid
+    # TWO scatter+cummax fills when the bit budget allows (rid packs with
+    # the run's STARTING TILE ID in 32 bits), else THREE (run-start
+    # scatters are latency-bound, ~3.7 ms each at 1M instances). The
+    # other measured alternative — one rid
     # fill + monotone offs2[rid]/base[rid] gathers — is ~2.5x worse
     # (M-scale scalar 1D gathers device-trace at ~9-23 ms; the round-1
     # gather lesson holds even for monotone indices).
-    fb = int(max(tiles_x, tiles_y)).bit_length()
-    rid_hi = jnp.arange(r_cap, dtype=i32) << fb
-    mask = (1 << fb) - 1
-    assert (r_cap - 1).bit_length() + fb <= 31, "level-2 fill bit overflow"
-
-    def fill(vals):
-        marks = jnp.zeros((m,), i32).at[offs2].max(
-            rid_hi | vals.astype(i32), mode="drop"
-        )
-        return jax.lax.cummax(marks)
-
-    f_x = fill(txlo)
-    f_ty = fill(ty)
     run2 = jax.lax.cummax(
         jnp.zeros((m,), i32).at[offs2].max(offs2.astype(i32), mode="drop")
     )
     inst = jnp.arange(m, dtype=i32)
     rank2 = inst - run2
-    rid = f_x >> fb
+    tb = int(num_tiles).bit_length()
+    if (r_cap - 1).bit_length() + tb <= 32:
+        # merged uint32 fill: rid in the high bits (the max over rows
+        # colliding at one offset — all w == 0 except possibly the last —
+        # must pick the LARGEST row index, which owns the run), starting
+        # tile id ty*tiles_x + txlo in the low bits
+        u32 = jnp.uint32
+        start_tile = (ty * tiles_x + txlo).astype(u32)
+        vals = (jnp.arange(r_cap, dtype=u32) << tb) | start_tile
+        f_g = jax.lax.cummax(
+            jnp.zeros((m,), u32).at[offs2].max(vals, mode="drop")
+        )
+        rid = (f_g >> tb).astype(i32)
+        base_tile = (f_g & ((1 << tb) - 1)).astype(i32)
+    else:
+        fb = int(max(tiles_x, tiles_y)).bit_length()
+        rid_hi = jnp.arange(r_cap, dtype=i32) << fb
+        mask = (1 << fb) - 1
+        assert (r_cap - 1).bit_length() + fb <= 31, "level-2 fill bit overflow"
+
+        def fill(vals):
+            marks = jnp.zeros((m,), i32).at[offs2].max(
+                rid_hi | vals.astype(i32), mode="drop"
+            )
+            return jax.lax.cummax(marks)
+
+        f_x = fill(txlo)
+        f_ty = fill(ty)
+        rid = f_x >> fb
+        base_tile = (f_ty & mask) * tiles_x + (f_x & mask)
     live = inst < jnp.minimum(total, m)
-    tile_id = jnp.where(
-        live, (f_ty & mask) * tiles_x + (f_x & mask) + rank2, num_tiles
-    ).astype(i32)
+    tile_id = jnp.where(live, base_tile + rank2, num_tiles).astype(i32)
     # carry the PRESORT instance index through the sort: the backward's
     # per-Gaussian reduction runs over presort order, where every
     # Gaussian's instances are contiguous (depth-rank-major emission)
