@@ -97,7 +97,11 @@ def main():
     # size the instance + row buffers from count pre-passes (x1.25
     # headroom), tight (exact ellipse/tile) binning — the production path
     from sgs_tpu.core.projection import project_gaussians
-    from sgs_tpu.render.tiled import instance_count_tight, row_count
+    from sgs_tpu.render.tiled import (
+        instance_count_tight,
+        kernel_row_count,
+        row_count,
+    )
 
     proj = project_gaussians(
         pool.xyz, pool.get_covariance(), cam.world_view_transform,
@@ -114,8 +118,17 @@ def main():
         )
     )
     max_instances = -(-int(total * 1.25) // 4096) * 4096
+    krows = int(
+        kernel_row_count(
+            proj["mean2d"], proj["conic"], inputs.opacities[..., 0],
+            proj["depth"], proj["radius"], valid, WIDTH, HEIGHT,
+            max_instances, max_rows,
+        )
+    )
+    max_krows = -(-int(krows * 1.15) // 512) * 512
     print(f"# instances: {total} (capacity {max_instances}, "
-          f"rows {rows}/{max_rows})", file=sys.stderr)
+          f"rows {rows}/{max_rows}, kernel rows {krows}/{max_krows})",
+          file=sys.stderr)
 
     @jax.jit
     def fwd_bwd(p):
@@ -123,7 +136,7 @@ def main():
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
-                max_row_instances=max_rows,
+                max_row_instances=max_rows, max_kernel_rows=max_krows,
             )
             return l1_loss(out["render"], gt)
 

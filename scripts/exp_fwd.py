@@ -76,7 +76,7 @@ def build_inputs():
         mean2d, conic, rgb, opac, order, gi_s
     )
     max_rows = fr.num_rows(max_instances, num_tiles)
-    packed, windows, row_tile, row_first, row_last, crs, nch = jax.jit(
+    packed, windows, row_tile, row_first, row_last, crs, nch, *_ = jax.jit(
         fr.pack_rows, static_argnums=(2, 3)
     )(attr_sorted, tile_s, num_tiles, max_rows)
     return packed, row_tile, row_first, crs, nch, num_tiles, tiles_x

@@ -121,7 +121,7 @@ def main():
         mean2d, conic, rgb, opac, permi, g_s,
     )
     packf = jax.jit(fr.pack_rows, static_argnums=(2, 3))
-    packed, windows, row_tile, row_first, row_last, crs, nch, tstart = bench(
+    packed, windows, row_tile, row_first, row_last, crs, nch, tstart, _ru = bench(
         "packing (pack_rows)",
         lambda *a: packf(*a, num_tiles, max_rows),
         attr_sorted, tile_s,

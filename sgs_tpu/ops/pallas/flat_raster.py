@@ -103,11 +103,16 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     ALREADY the kernel layout (instances on sublanes, attributes on
     lanes) — no transpose.
 
+    max_rows may be a BUCKET smaller than the analytic worst case
+    (num_rows): rows beyond it are dropped and the returned rows_used
+    (traced scalar) lets the caller flag the overflow and regrow.
+
     Returns (packed (max_rows*CHUNK, REC) f32,
              windows (max_rows, CHUNK) int32 original gaussian ids,
              row_tile (max_rows,) int32 (num_tiles = dead row),
              row_first / row_last (max_rows,) int32 tile-boundary flags,
-             chunk_row_start (T,), n_chunks (T,)).
+             chunk_row_start (T,), n_chunks (T,), tile_start (T,),
+             rows_used () int32).
     """
     m = tile_sorted.shape[0]
     tiles = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -134,8 +139,15 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     )
     row_valid = rowv < rows_used
     row_first = row_valid & (rowv == chunk_row_start[row_tile_c])
+    # clip so a bucket-truncated tile still flags its last PRESENT row
+    # (keeps the backward carry init well-defined under row overflow —
+    # the image is flagged-wrong then anyway, but must stay finite)
     row_last = row_valid & (
-        rowv == chunk_row_start[row_tile_c] + n_chunks[row_tile_c] - 1
+        rowv
+        == jnp.minimum(
+            chunk_row_start[row_tile_c] + n_chunks[row_tile_c] - 1,
+            max_rows - 1,
+        )
     )
     starts = tile_start[row_tile_c] + (rowv - chunk_row_start[row_tile_c]) * CHUNK
 
@@ -159,6 +171,7 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
         chunk_row_start,
         n_chunks,
         tile_start,
+        rows_used,
     )
 
 

@@ -58,6 +58,7 @@ def render(
     max_instances: Optional[int] = None,
     backend: str = "xla",
     max_row_instances: Optional[int] = None,
+    max_kernel_rows: Optional[int] = None,
 ) -> dict:
     """mode: "reference" (O(N*P) oracle) or "tiled" (production binned
     rasterizer; max_instances is its static instance capacity, default
@@ -67,7 +68,11 @@ def render(
     exact ellipse/tile intersection culls (Gaussian, tile) pairs whose
     alpha is < 1/255 everywhere in the tile — bit-identical images,
     ~35% fewer instances. It is the static tile-ROW capacity; size it
-    with render.tiled.row_count (0/None disables)."""
+    with render.tiled.row_count (0/None disables).
+
+    max_kernel_rows (Pallas backend only) buckets the padded chunk-row
+    layout below its analytic worst case (~2x the typical need); size it
+    with render.tiled.kernel_row_count (0/None = worst case)."""
     g = gaussians
     n = g.means3d.shape[0]
 
@@ -126,6 +131,10 @@ def render(
             backend=backend,
             max_row_instances=(
                 max_row_instances if backend == "pallas" and max_row_instances
+                else 0
+            ),
+            max_kernel_rows=(
+                max_kernel_rows if backend == "pallas" and max_kernel_rows
                 else 0
             ),
         )

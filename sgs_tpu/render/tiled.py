@@ -230,6 +230,38 @@ def instance_count_tight(
     return jnp.sum(out[4])
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_instances", "max_row_instances"),
+)
+def kernel_row_count(
+    mean2d, conic, opacity, depth, radius, valid,
+    width: int, height: int, max_instances: int, max_row_instances: int,
+) -> jnp.ndarray:
+    """Padded chunk-row count the flat Pallas kernels need for this view
+    — the kernel-row bucket pre-pass (sum over tiles of
+    ceil(count_t / CHUNK)). The analytic worst case (flat_raster.num_rows)
+    is typically ~2x this; sizing the bucket from it halves the pack
+    gather, both kernels' DMA streams, and the gradient buffers."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
+
+    if max_row_instances > 0:
+        tile_s = _build_instances_tight(
+            mean2d, conic, opacity, depth, radius, valid,
+            width, height, max_instances, max_row_instances,
+        )[0]
+    else:
+        tile_s = _build_instances(
+            mean2d, depth, radius, valid, width, height, max_instances
+        )[0]
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    tiles = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    start = jnp.searchsorted(tile_s, tiles, side="left", method="scan_unrolled")
+    end = jnp.searchsorted(tile_s, tiles, side="right", method="scan_unrolled")
+    return jnp.sum(-(-(end - start) // fr.CHUNK))
+
+
 def _build_instances_tight(
     mean2d, conic, opacity, depth, radius, valid,
     width, height, max_instances, max_row_instances,
@@ -520,11 +552,18 @@ def _alphas(gs, px, py, live, mean2d, conic, opacity):
 def _forward_pallas(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk, max_row_instances=0,
+    max_kernel_rows=0,
 ):
     """Flat Pallas forward: gather-free binning, chunk-padded row packing,
     one pipelined kernel sweep. Output contract identical to _forward.
     max_row_instances > 0 selects the TIGHT (exact ellipse/tile) binning
-    — bit-identical output, ~35% fewer instances at bench statistics."""
+    — bit-identical output, ~35% fewer instances at bench statistics.
+
+    max_kernel_rows > 0 buckets the padded chunk-row count (default is
+    the analytic worst case m/CHUNK + num_tiles, typically ~2x the used
+    rows): the pack gather, both kernels' DMA streams, and the grad
+    buffers all scale with it. Size with kernel_row_count; overflow is
+    reported like instance overflow and the caller regrows."""
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
@@ -548,10 +587,15 @@ def _forward_pallas(
             )
         )
         attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
-    max_rows = fr.num_rows(max_instances, num_tiles)
-    packed, windows, row_tile, row_first, row_last, crs, nch, tile_start = (
-        fr.pack_rows(attr_sorted, tile_s, num_tiles, max_rows)
-    )
+    if max_kernel_rows > 0:
+        assert max_kernel_rows % fr.KROWS == 0, "kernel-row bucket % KROWS"
+        max_rows = max_kernel_rows
+    else:
+        max_rows = fr.num_rows(max_instances, num_tiles)
+    (packed, windows, row_tile, row_first, row_last, crs, nch, tile_start,
+     rows_used) = fr.pack_rows(attr_sorted, tile_s, num_tiles, max_rows)
+    # row-bucket overflow: count the dropped slots like instance overflow
+    overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
     if max_row_instances > 0:
         slot_of_inst = fr.padded_slot_of_presort(
             tile_start, crs, inst_s, max_instances, max_rows * fr.CHUNK
@@ -870,15 +914,17 @@ def _backward(
 
 # ---------------------------------------------------------------- public
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _rasterize_core(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk, backend, max_row_instances,
+    max_kernel_rows,
 ):
     if backend == "pallas":
         img, overflow = _forward_pallas(
             mean2d, depth, conic, rgb, opacity, radius, valid, bg,
             width, height, max_instances, chunk, max_row_instances,
+            max_kernel_rows,
         )[:2]
     else:
         img, overflow, _, _ = _forward(
@@ -891,11 +937,13 @@ def _rasterize_core(
 def _core_fwd(
     mean2d, depth, conic, rgb, opacity, radius, valid, bg,
     width, height, max_instances, chunk, backend, max_row_instances,
+    max_kernel_rows,
 ):
     if backend == "pallas":
         img, overflow, t_final, last_contrib, built = _forward_pallas(
             mean2d, depth, conic, rgb, opacity, radius, valid, bg,
             width, height, max_instances, chunk, max_row_instances,
+            max_kernel_rows,
         )
     else:
         img, overflow, t_final, last_contrib = _forward(
@@ -912,7 +960,7 @@ def _core_fwd(
 
 def _core_bwd(
     width, height, max_instances, chunk, backend, max_row_instances,
-    res, cotangents,
+    max_kernel_rows, res, cotangents,
 ):
     (
         mean2d, depth, conic, rgb, opacity, radius, valid, bg,
@@ -959,7 +1007,7 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "chunk", "backend",
-        "max_row_instances",
+        "max_row_instances", "max_kernel_rows",
     ),
 )
 def rasterize_tiled(
@@ -977,10 +1025,12 @@ def rasterize_tiled(
     chunk: int = 1024,
     backend: str = "xla",  # "xla" | "pallas" (forward kernel choice)
     max_row_instances: int = 0,  # > 0: tight (exact ellipse/tile) binning
+    max_kernel_rows: int = 0,  # > 0: padded chunk-row bucket (pallas)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ((3, H, W) image, overflow count). overflow counts
     instances dropped by the static capacities (tight mode adds dropped
-    tile-ROW slots); 0 = exact render."""
+    tile-ROW slots, and the kernel-row bucket adds dropped padded
+    slots); 0 = exact render."""
     return _rasterize_core(
         mean2d.astype(jnp.float32),
         depth.astype(jnp.float32),
@@ -996,4 +1046,5 @@ def rasterize_tiled(
         chunk,
         backend,
         max_row_instances,
+        max_kernel_rows,
     )

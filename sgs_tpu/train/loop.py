@@ -37,6 +37,7 @@ class TrainState:
     static_argnames=(
         "active_sh_degree", "lambda_dssim", "freeze_xyz", "apply_update",
         "mode", "max_instances", "backend", "max_row_instances",
+        "max_kernel_rows",
     ),
     donate_argnums=(0,),
 )
@@ -54,6 +55,7 @@ def train_step(
     max_instances: int = 0,
     backend: str = "xla",
     max_row_instances: int = 0,
+    max_kernel_rows: int = 0,
 ) -> Tuple[TrainState, dict]:
     pool, adam, stats = state.pool, state.adam, state.stats
     n = pool.capacity
@@ -65,6 +67,7 @@ def train_step(
             camera, p.render_inputs(active_sh_degree), bg_color, vspace_tap=tap,
             mode=mode, max_instances=max_instances or None, backend=backend,
             max_row_instances=max_row_instances,
+            max_kernel_rows=max_kernel_rows,
         )
         image = out["render"]
         ll1 = l1_loss(image, gt_image)
@@ -103,7 +106,7 @@ def train_step(
     jax.jit,
     static_argnames=(
         "active_sh_degree", "mode", "max_instances", "backend",
-        "max_row_instances",
+        "max_row_instances", "max_kernel_rows",
     ),
 )
 def eval_render(
@@ -115,12 +118,14 @@ def eval_render(
     max_instances: int = 0,
     backend: str = "xla",
     max_row_instances: int = 0,
+    max_kernel_rows: int = 0,
 ) -> jnp.ndarray:
     """Clamped render for evaluation (training_report, train.py:191)."""
     out = render(
         camera, pool.render_inputs(active_sh_degree), bg_color,
         mode=mode, max_instances=max_instances or None, backend=backend,
         max_row_instances=max_row_instances,
+        max_kernel_rows=max_kernel_rows,
     )
     return jnp.clip(out["render"], 0.0, 1.0)
 
@@ -138,12 +143,15 @@ def instance_bucket(
 ) -> "int | tuple":
     """Power-of-two instance-capacity bucket for the tiled rasterizer —
     recomputed at densification events so recompiles only happen on
-    doubling. tight=True returns (instance_bucket, row_bucket) for the
-    exact ellipse/tile binning (render.tiled._build_instances_tight)."""
+    doubling. tight=True returns (instance_bucket, row_bucket,
+    kernel_row_bucket) for the exact ellipse/tile binning
+    (render.tiled._build_instances_tight) + the flat-kernel padded-row
+    layout (the analytic worst case is ~2x the typical need)."""
     from sgs_tpu.core.projection import project_gaussians
     from sgs_tpu.render.tiled import (
         instance_count,
         instance_count_tight,
+        kernel_row_count,
         row_count,
     )
 
@@ -176,7 +184,19 @@ def instance_bucket(
             camera.image_width, camera.image_height, row_bucket,
         )
     )
-    return _pow2_bucket(total, headroom), row_bucket
+    inst_bucket = _pow2_bucket(total, headroom)
+    krows = int(
+        kernel_row_count(
+            proj["mean2d"], proj["conic"], inputs.opacities[..., 0],
+            proj["depth"], proj["radius"], valid,
+            camera.image_width, camera.image_height,
+            inst_bucket, row_bucket,
+        )
+    )
+    # gentler bucket than pow2 (pow2 would land back on the analytic
+    # worst case): headroom then round up to 1024 rows (KROWS-aligned)
+    krow_bucket = -(-max(int(krows * 1.3), 1024) // 1024) * 1024
+    return inst_bucket, row_bucket, krow_bucket
 
 
 def instance_bucket_sample(
@@ -199,4 +219,5 @@ def instance_bucket_sample(
     return (
         max(b[0] for b in buckets),
         max(b[1] for b in buckets),
+        max(b[2] for b in buckets),
     )

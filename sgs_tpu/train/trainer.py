@@ -123,13 +123,17 @@ def training(
 
     max_instances = 0
     max_rows = 0
+    max_krows = 0
     if raster_mode == "tiled":
         b = instance_bucket_sample(
             state.pool, train_cams, py_rng, tight=raster_tight
         )
-        max_instances, max_rows = b if raster_tight else (b, 0)
+        max_instances, max_rows, max_krows = (
+            b if raster_tight else (b, 0, 0)
+        )
         print(f"instance capacity bucket: {max_instances}"
-              + (f" (tight; row bucket {max_rows})" if raster_tight else ""))
+              + (f" (tight; row bucket {max_rows}, kernel rows {max_krows})"
+                 if raster_tight else ""))
 
     # ---- multi-chip training (--parallel dp | hybrid) ----
     parallel = getattr(pipe, "parallel", "none")
@@ -189,6 +193,7 @@ def training(
                 state.pool, cam, bg_color, active_sh_degree,
                 mode=raster_mode, max_instances=max_instances,
                 backend=raster_backend, max_row_instances=max_rows,
+                max_kernel_rows=max_krows,
             ),
             dataset.source_path, iteration, opt.iterations,
         )
@@ -288,6 +293,7 @@ def training(
                 max_instances=max_instances,
                 backend=raster_backend,
                 max_row_instances=max_rows,
+                max_kernel_rows=max_krows,
             )
 
         loss_val = float(metrics["loss"])
@@ -311,14 +317,17 @@ def training(
                 new_bucket *= 2
             overflow_events += 1
             new_rows = max_rows * 2 if raster_tight else 0
+            new_krows = max_krows * 2 if raster_tight else 0
             print(
                 f"\n[ITER {iteration}] WARNING: instance overflow "
                 f"({ovf} splats dropped this view); bucket "
                 f"{max_instances} -> {new_bucket}"
-                + (f", rows {max_rows} -> {new_rows}" if raster_tight else "")
+                + (f", rows {max_rows} -> {new_rows}, kernel rows "
+                   f"{max_krows} -> {new_krows}" if raster_tight else "")
             )
             max_instances = new_bucket
             max_rows = new_rows
+            max_krows = new_krows
             if tb is not None:
                 tb.add_scalar("raster/overflow_instances", ovf, iteration)
 
@@ -337,7 +346,8 @@ def training(
             training_report(
                 tsv, iteration, scene, state.pool, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
-                backend=raster_backend, max_row_instances=max_rows, tb=tb,
+                backend=raster_backend, max_row_instances=max_rows,
+                max_kernel_rows=max_krows, tb=tb,
                 log_gt_images=iteration == min(testing_iterations),
             )
 
@@ -381,7 +391,9 @@ def training(
                     b = instance_bucket_sample(
                         state.pool, train_cams, py_rng, tight=raster_tight
                     )
-                    new_bucket, new_rows = b if raster_tight else (b, 0)
+                    new_bucket, new_rows, new_krows = (
+                        b if raster_tight else (b, 0, 0)
+                    )
                     # hysteresis: grow immediately, shrink only on a 4x
                     # drop (every bucket change recompiles the train step)
                     if new_bucket > max_instances or new_bucket * 4 <= max_instances:
@@ -390,6 +402,8 @@ def training(
                         max_instances = new_bucket
                     if new_rows > max_rows or new_rows * 4 <= max_rows:
                         max_rows = new_rows
+                    if new_krows > max_krows or new_krows * 4 <= max_krows:
+                        max_krows = new_krows
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 dataset.white_background and iteration == opt.densify_from_iter
@@ -444,7 +458,7 @@ def _make_tb_writer(model_path: str):
 def training_report(
     tsv, iteration: int, scene, pool: GaussianPool, active_sh_degree: int, bg_color,
     mode: str = "reference", max_instances: int = 0, backend: str = "xla",
-    max_row_instances: int = 0,
+    max_row_instances: int = 0, max_kernel_rows: int = 0,
     tb=None, full_train_set: bool = False, log_gt_images: bool = False,
 ) -> None:
     """Test/train-subset L1+PSNR eval (train.py:174-217) + TSV row.
@@ -477,6 +491,7 @@ def training_report(
                 pool, cam.camera, bg_color, active_sh_degree,
                 mode=mode, max_instances=max_instances, backend=backend,
                 max_row_instances=max_row_instances,
+                max_kernel_rows=max_kernel_rows,
             )
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
             if tb is not None and idx < 5:

@@ -41,6 +41,54 @@ def sample_gt_gaussians(n: int = 300, seed: int = 0) -> dict:
     }
 
 
+def sample_gt_gaussians_hard(n: int = 4000, seed: int = 0) -> dict:
+    """Harder GT: a textured occluding shell + interior clutter.
+
+    High-frequency position-driven color (sinusoidal 'texture'), thin
+    anisotropic splats on a bumpy sphere shell that occludes a distinct
+    inner core — exercises depth ordering, early termination and
+    densification growth far more than the blobby default (VERDICT r1
+    'quality-parity evidence' item)."""
+    rng = np.random.default_rng(seed)
+    n_shell = int(n * 0.7)
+    n_core = n - n_shell
+    # bumpy sphere shell, radius ~0.9 with lumps
+    u = rng.normal(size=(n_shell, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    bump = 0.9 + 0.12 * np.sin(5.0 * u[:, 0:1] * 3.1) * np.cos(
+        4.0 * u[:, 1:2] * 2.7
+    )
+    shell = u * bump
+    core = rng.normal(size=(n_core, 3)) * 0.3
+    pts = np.concatenate([shell, core])
+    # high-frequency multi-band texture
+    phase = pts @ np.array([[7.1, 2.3, 5.9], [1.7, 9.2, 3.1], [4.3, 2.9, 8.7]]).T
+    colors = np.clip(
+        0.5
+        + 0.35 * np.sin(phase)
+        + 0.12 * np.sin(3.7 * phase[:, [1, 2, 0]])
+        + rng.normal(size=(n, 3)) * 0.03,
+        0.02,
+        0.98,
+    )
+    # thin anisotropic shell splats (flattened along the normal)
+    log_s = rng.uniform(-4.4, -3.2, (n, 3))
+    log_s[:n_shell, 0] -= 1.2  # flatten one axis
+    scales = np.exp(log_s)
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opacity = np.concatenate(
+        [rng.uniform(0.75, 0.98, (n_shell, 1)), rng.uniform(0.4, 0.9, (n_core, 1))]
+    )
+    return {
+        "means3d": pts.astype(np.float32),
+        "scales": scales.astype(np.float32),
+        "rotations": quats.astype(np.float32),
+        "opacity": opacity.astype(np.float32),
+        "colors": colors.astype(np.float32),
+    }
+
+
 def circle_pose(theta: float, radius: float = 3.2, height: float = 0.6) -> np.ndarray:
     """Camera-to-world matrix (COLMAP convention: x right, y down, z forward)
     on a circle looking at the origin."""
@@ -90,9 +138,13 @@ def make_blender_dataset(
     seed: int = 0,
     white_background: bool = True,
     fovx: float = math.radians(50.0),
+    variant: str = "blobby",  # "blobby" | "hard" (textured occluding shell)
 ) -> dict:
     """Write a Blender-format dataset; returns the GT gaussian dict."""
-    gt = sample_gt_gaussians(n_gaussians, seed)
+    sampler = (
+        sample_gt_gaussians_hard if variant == "hard" else sample_gt_gaussians
+    )
+    gt = sampler(n_gaussians, seed)
     bg = (1.0, 1.0, 1.0) if white_background else (0.0, 0.0, 0.0)
 
     for split, count, offset in (

@@ -184,3 +184,73 @@ def test_determinism_bit_exact():
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kernel_row_bucket_parity_and_overflow():
+    """A kernel-row bucket sized from kernel_row_count renders
+    bit-identically to the analytic worst case; a too-small bucket
+    reports overflow instead of silently truncating."""
+    from sgs_tpu.core.projection import project_gaussians
+    from sgs_tpu.ops.pallas.flat_raster import KROWS
+    from sgs_tpu.render.tiled import kernel_row_count, row_count
+
+    cam = make_camera()
+    means, scales, quats, opacity, colors = random_scene(n=150, seed=3)
+    g = inputs_of(means, scales, quats, opacity, colors)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    proj = project_gaussians(
+        g.means3d, transforms.build_covariance(g.scales, g.rotations, 1.0),
+        cam.world_view_transform, cam.full_proj_transform,
+        cam.tanfovx, cam.tanfovy, cam.image_width, cam.image_height,
+    )
+    valid = proj["radius"] > 0
+    rows = int(
+        row_count(proj["mean2d"], proj["radius"], valid,
+                  cam.image_width, cam.image_height)
+    )
+    max_rows = max(256, rows + 32)
+    max_instances = 4096
+    krows = int(
+        kernel_row_count(
+            proj["mean2d"], proj["conic"], g.opacities[..., 0],
+            proj["depth"], proj["radius"], valid,
+            cam.image_width, cam.image_height, max_instances, max_rows,
+        )
+    )
+    bucket = -(-(krows + KROWS) // KROWS) * KROWS
+
+    def run(max_kernel_rows):
+        return render(
+            cam, g, bg, mode="tiled", backend="pallas",
+            max_instances=max_instances, max_row_instances=max_rows,
+            max_kernel_rows=max_kernel_rows,
+        )
+
+    full = run(0)
+    bucketed = run(bucket)
+    assert int(full["overflow"]) == 0
+    assert int(bucketed["overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(full["render"]), np.asarray(bucketed["render"])
+    )
+
+    # gradients too: same loss gradient through the bucketed path
+    def loss(fn_rows, c):
+        out = render(
+            cam, g.replace(colors_precomp=c), bg, mode="tiled",
+            backend="pallas", max_instances=max_instances,
+            max_row_instances=max_rows, max_kernel_rows=fn_rows,
+        )
+        return jnp.sum(out["render"] ** 2)
+
+    c0 = jnp.asarray(colors)
+    g_full = jax.grad(lambda c: loss(0, c))(c0)
+    g_buck = jax.grad(lambda c: loss(bucket, c))(c0)
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_buck), rtol=0, atol=0
+    )
+
+    # deliberately too-small bucket: overflow must be reported
+    tiny = run(KROWS)
+    assert int(tiny["overflow"]) > 0
