@@ -33,7 +33,11 @@ def run_config(n_gaussians: int) -> dict:
     from sgs_tpu.models.gaussians import GaussianPool
     from sgs_tpu.ops.ssim import l1_loss
     from sgs_tpu.render.pipeline import render
-    from sgs_tpu.render.tiled import instance_count_tight, row_count
+    from sgs_tpu.render.tiled import (
+        instance_count_tight,
+        kernel_row_count,
+        row_count,
+    )
 
     rng = np.random.default_rng(0)
     # Converged-capture statistics: scene extent fixed (~2 units), splat
@@ -80,6 +84,14 @@ def run_config(n_gaussians: int) -> dict:
         )
     )
     max_instances = -(-int(total * 1.25) // 4096) * 4096
+    krows = int(
+        kernel_row_count(
+            proj["mean2d"], proj["conic"], inputs.opacities[..., 0],
+            proj["depth"], proj["radius"], valid, WIDTH, HEIGHT,
+            max_instances, max_rows,
+        )
+    )
+    max_krows = -(-int(krows * 1.15) // 512) * 512
 
     @jax.jit
     def fwd_bwd(p):
@@ -87,7 +99,7 @@ def run_config(n_gaussians: int) -> dict:
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
-                max_row_instances=max_rows,
+                max_row_instances=max_rows, max_kernel_rows=max_krows,
             )
             return l1_loss(out["render"], gt)
 

@@ -31,7 +31,7 @@ LGM_EPS = 1e-15
 def make_lgm_train_step(
     lambda_dssim: float, active_sh_degree: int, optimizer,
     mode: str = "tiled", max_instances: int = 0, backend: str = "xla",
-    max_row_instances: int = 0,
+    max_row_instances: int = 0, max_kernel_rows: int = 0,
 ):
     @jax.jit
     def step(params, opt_state, static_model, camera, gt_image, bg):
@@ -41,16 +41,17 @@ def make_lgm_train_step(
                 camera, model.render_inputs(active_sh_degree), bg,
                 mode=mode, max_instances=max_instances or None,
                 backend=backend, max_row_instances=max_row_instances,
+                max_kernel_rows=max_kernel_rows,
             )
             image = out["render"]
             ll1 = l1_loss(image, gt_image)
             loss = (1 - lambda_dssim) * ll1 + lambda_dssim * (1 - ssim(image, gt_image))
-            return loss, ll1
+            return loss, (ll1, out["overflow"])
 
-        (loss, ll1), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (ll1, ovf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, ll1
+        return params, opt_state, loss, ll1, ovf
 
     return step
 
@@ -149,6 +150,7 @@ def training_lgm(
     )
     max_instances = 0
     max_rows = 0
+    max_krows = 0
     if raster_mode == "tiled":
         import math as _math
 
@@ -156,6 +158,7 @@ def training_lgm(
         from sgs_tpu.render.tiled import (
             instance_count,
             instance_count_tight,
+            kernel_row_count,
             row_count,
         )
 
@@ -187,14 +190,26 @@ def training_lgm(
                 cam0.image_width, cam0.image_height,
             ))
         max_instances = 1 << _math.ceil(_math.log2(max(4096, int(total * 1.5))))
+        if raster_tight:
+            krows = int(kernel_row_count(
+                proj["mean2d"], proj["conic"], gi.opacities[..., 0],
+                proj["depth"], proj["radius"], valid,
+                cam0.image_width, cam0.image_height, max_instances, max_rows,
+            ))
+            max_krows = -(-int(krows * 1.5) // 1024) * 1024
         print(f"instance capacity bucket: {max_instances}"
-              + (f" (tight; row bucket {max_rows})" if raster_tight else ""))
+              + (f" (tight; row bucket {max_rows}, kernel rows {max_krows})"
+                 if raster_tight else ""))
 
-    step_fn = make_lgm_train_step(
-        opt.lambda_dssim, active_sh_degree, optimizer,
-        mode=raster_mode, max_instances=max_instances,
-        backend=raster_backend, max_row_instances=max_rows,
-    )
+    def build_step():
+        return make_lgm_train_step(
+            opt.lambda_dssim, active_sh_degree, optimizer,
+            mode=raster_mode, max_instances=max_instances,
+            backend=raster_backend, max_row_instances=max_rows,
+            max_kernel_rows=max_krows,
+        )
+
+    step_fn = build_step()
 
     bg_color = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0], jnp.float32
@@ -214,6 +229,7 @@ def training_lgm(
                     bg_color, scaling_modifier=sm,
                     mode=raster_mode, max_instances=max_instances or None,
                     backend=raster_backend, max_row_instances=max_rows,
+                    max_kernel_rows=max_krows,
                 )["render"], 0.0, 1.0,
             ),
             dataset.source_path, iteration, opt.iterations,
@@ -228,10 +244,23 @@ def training_lgm(
         else:
             bg = bg_color
 
-        params, opt_state, loss, ll1 = step_fn(
+        params, opt_state, loss, ll1, ovf = step_fn(
             params, opt_state, model, cam.camera, jnp.asarray(cam.gt_image), bg
         )
         ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+        # overflow recovery (the reference LGM never drops splats; silent
+        # truncation would corrupt the fit): regrow buckets and recompile
+        if raster_mode == "tiled" and int(ovf) > 0:
+            needed = max_instances + int(ovf)
+            while max_instances < int(needed * 1.4):
+                max_instances *= 2
+            if raster_tight:
+                max_rows *= 2
+                max_krows *= 2
+            print(f"\n[ITER {iteration}] WARNING: instance overflow "
+                  f"({int(ovf)} splats dropped); buckets -> "
+                  f"{max_instances}/{max_rows}/{max_krows}")
+            step_fn = build_step()
         if not pipe.no_tqdm and iteration % 100 == 0:
             print(f"[{iteration}] ema loss {ema_loss:.6f}")
 
@@ -241,6 +270,7 @@ def training_lgm(
                 iteration, scene, model_now, active_sh_degree, bg_color,
                 mode=raster_mode, max_instances=max_instances,
                 backend=raster_backend, max_row_instances=max_rows,
+                max_kernel_rows=max_krows,
             )
 
         if iteration in saving_iterations:
@@ -271,7 +301,7 @@ def training_lgm(
 
 def report_lgm(iteration, scene, model, active_sh_degree, bg_color,
                mode="tiled", max_instances=0, backend="xla",
-               max_row_instances=0):
+               max_row_instances=0, max_kernel_rows=0):
     for name, cams in (
         ("test", scene.getTestCameras()),
         ("train", scene.getTrainCameras()[:8]),
@@ -285,6 +315,7 @@ def report_lgm(iteration, scene, model, active_sh_degree, bg_color,
                 cam.camera, inputs, bg_color,
                 mode=mode, max_instances=max_instances or None,
                 backend=backend, max_row_instances=max_row_instances,
+                max_kernel_rows=max_kernel_rows,
             )
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.gt_image), 0.0, 1.0)
