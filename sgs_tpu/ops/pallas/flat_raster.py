@@ -321,8 +321,7 @@ def _bwd_kernel(
     row_tile_ref, row_last_ref, meta_ref, bg_ref,  # meta: [tiles_x, num_tiles]
     # inputs (blocks walked in reverse)
     packed_ref,  # (REC, KROWS*CHUNK) — transposed, compact in HBM
-    tfl_ref,  # (KROWS, 2, 256): [t_final, last_contrib]
-    dc_ref,  # (KROWS, 3, 256) cotangent image rows
+    aux_ref,  # (KROWS, 5, 256): [t_final, last_contrib, dc_r, dc_g, dc_b]
     # outputs: ONE transposed compact grad buffer (see GRECT comment)
     grad_ref,  # (GRECT, KROWS*CHUNK)
     # scratch: suffix carries, persist across grid steps
@@ -344,9 +343,9 @@ def _bwd_kernel(
         t = row_tile_ref[r]
         px = (jax.lax.rem(t, tiles_x) * TILE).astype(jnp.float32) + lx
         py = ((t // tiles_x) * TILE).astype(jnp.float32) + ly
-        tf = tfl_ref[j, 0:1, :]  # (1, 256)
-        lastc = tfl_ref[j, 1:2, :]
-        dc = dc_ref[j]  # (3, 256)
+        tf = aux_ref[j, 0:1, :]  # (1, 256)
+        lastc = aux_ref[j, 1:2, :]
+        dc = aux_ref[j, 2:5, :]  # (3, 256)
 
         @pl.when(row_last_ref[r] == 1)
         def _():
@@ -459,14 +458,16 @@ def _bwd_kernel(
 
 
 def backward_flat(
-    packed_t, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x, num_tiles,
+    packed_t, row_tile, row_last, bg, aux_rows, tiles_x, num_tiles,
     interpret=False,
 ):
     """Per-slot gradient records for the padded row layout.
 
     packed_t: (REC, slots) transposed records (see forward_flat);
-    tfl_rows: (R, 2, 256) per-row copies of [t_final, last_contrib];
-    dc_rows: (R, 3, 256) per-row copies of the tile-layout cotangent.
+    aux_rows: (R, 5, 256) per-row copies of [t_final, last_contrib,
+    dc_r, dc_g, dc_b] — ONE fused operand: separate (R,2,256)+(R,3,256)
+    operands each sublane-pad to 8 in the kernel layout (2x the stream)
+    and cost two XLA row gathers to build instead of one.
     Returns ONE (GRECT, slots) f32 buffer — compact under the Pallas
     {1,0} layout (see the GRECT comment).
     """
@@ -479,10 +480,7 @@ def backward_flat(
         in_specs=[
             pl.BlockSpec((REC, KROWS * CHUNK), lambda k, *_: (0, nb - 1 - k)),
             pl.BlockSpec(
-                (KROWS, 2, TILE_PIXELS), lambda k, *_: (nb - 1 - k, 0, 0)
-            ),
-            pl.BlockSpec(
-                (KROWS, 3, TILE_PIXELS), lambda k, *_: (nb - 1 - k, 0, 0)
+                (KROWS, 5, TILE_PIXELS), lambda k, *_: (nb - 1 - k, 0, 0)
             ),
         ],
         out_specs=[
@@ -501,7 +499,7 @@ def backward_flat(
         interpret=interpret,
     )(
         row_tile, row_last, jnp.asarray([tiles_x, num_tiles], jnp.int32),
-        bg.astype(jnp.float32), packed_t, tfl_rows, dc_rows,
+        bg.astype(jnp.float32), packed_t, aux_rows,
     )
     return grads_t
 

@@ -744,12 +744,16 @@ def _backward_pallas_host(
 
     dC = _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y)
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
-    tfl_tiles = jnp.stack([t_final, last_contrib], axis=1)  # (T, 2, 256)
-    tfl_rows = tfl_tiles[safe_tile]
-    dc_rows = dC[safe_tile]
+    # ONE fused (T, 5, 256) aux table -> one row gather, one kernel
+    # operand (separate tfl/dc operands sublane-pad 2->8 and 3->8: 2x
+    # the streamed bytes and two gathers)
+    aux_tiles = jnp.concatenate(
+        [t_final[:, None, :], last_contrib[:, None, :], dC], axis=1
+    )
+    aux_rows = aux_tiles[safe_tile]
     interpret = jax.default_backend() == "cpu"
     grads_t = fr.backward_flat(
-        packed_t, row_tile, row_last, bg, tfl_rows, dc_rows, tiles_x,
+        packed_t, row_tile, row_last, bg, aux_rows, tiles_x,
         num_tiles, interpret=interpret,
     )
     # split (slots, 8) halves for the fast (<=8-lane-row) reduction
