@@ -28,7 +28,8 @@ def save_png(path: str, image_chw) -> None:
     Image.fromarray((arr.transpose(1, 2, 0) * 255 + 0.5).astype(np.uint8)).save(path)
 
 
-def render_set(model_path, name, iteration, views, pool, active_sh_degree, background):
+def render_set(model_path, name, iteration, views, pool, active_sh_degree,
+               background, raster):
     import jax.numpy as jnp
 
     from sgs_tpu.train.loop import eval_render
@@ -38,9 +39,37 @@ def render_set(model_path, name, iteration, views, pool, active_sh_degree, backg
     os.makedirs(render_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
     for idx, view in enumerate(views):
-        image = eval_render(pool, view.camera, background, active_sh_degree)
+        image = eval_render(
+            pool, view.camera, background, active_sh_degree, **raster
+        )
         save_png(os.path.join(render_path, f"{idx:05d}.png"), image)
         save_png(os.path.join(gts_path, f"{idx:05d}.png"), view.gt_image)
+
+
+def _raster_kwargs(pipe, pool, cameras):
+    """Production rasterizer settings for offline rendering: the tiled
+    Pallas path with tight culling, buckets sized from a camera sample
+    (the reference renders with its production CUDA rasterizer too;
+    the O(N*P) oracle stays available via --rasterizer reference)."""
+    from sgs_tpu.utils.config import resolve_raster_backend
+
+    mode = getattr(pipe, "rasterizer", "tiled")
+    backend = resolve_raster_backend(getattr(pipe, "raster_backend", "auto"))
+    if mode != "tiled":
+        return {"mode": mode}
+    import random
+
+    from sgs_tpu.train.loop import instance_bucket_sample
+
+    tight = getattr(pipe, "tight_culling", True) and backend == "pallas"
+    b = instance_bucket_sample(
+        pool, cameras, random.Random(0), tight=tight
+    )
+    mi, mr, mk = b if tight else (b, 0, 0)
+    return {
+        "mode": mode, "backend": backend, "max_instances": mi,
+        "max_row_instances": mr, "max_kernel_rows": mk,
+    }
 
 
 def render_sets(dataset, iteration, pipe, skip_train, skip_test):
@@ -52,15 +81,17 @@ def render_sets(dataset, iteration, pipe, skip_train, skip_test):
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0]
     )
+    all_cams = scene.getTrainCameras() + scene.getTestCameras()
+    raster = _raster_kwargs(pipe, scene.pool, all_cams)
     if not skip_train:
         render_set(
             dataset.model_path, "train", scene.loaded_iter, scene.getTrainCameras(),
-            scene.pool, dataset.sh_degree, background,
+            scene.pool, dataset.sh_degree, background, raster,
         )
     if not skip_test:
         render_set(
             dataset.model_path, "test", scene.loaded_iter, scene.getTestCameras(),
-            scene.pool, dataset.sh_degree, background,
+            scene.pool, dataset.sh_degree, background, raster,
         )
 
 

@@ -47,6 +47,7 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
     max_instances = 1_019_904
     max_rows = 425_984
+    max_krows = 13_312
 
     @jax.jit
     def fwd_bwd(p):
@@ -54,7 +55,7 @@ def main():
             out = render(
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
-                max_row_instances=max_rows,
+                max_row_instances=max_rows, max_kernel_rows=max_krows,
             )
             return l1_loss(out["render"], gt)
         return jax.value_and_grad(loss_fn)(p.params())

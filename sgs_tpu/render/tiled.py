@@ -758,9 +758,15 @@ def _backward_pallas_host(
     )
     # split (slots, 8) halves for the fast (<=8-lane-row) reduction
     # gathers; compact-to-compact XLA transposes
-    padgrads = (
-        jnp.transpose(grads_t[0:8]),  # mx,my,ca,cb,cc,op,r,g
-        jnp.transpose(grads_t[8:16]),  # b, zeros
+    # optimization_barrier pins the transposes to a real row-major
+    # (slots, 8) materialization: without it XLA may assign the {0,1}
+    # (column-major) layout and the reduction's row gathers then read 8
+    # scattered words per row (device-traced 3x slower)
+    padgrads = jax.lax.optimization_barrier(
+        (
+            jnp.transpose(grads_t[0:8]),  # mx,my,ca,cb,cc,op,r,g
+            jnp.transpose(grads_t[8:16]),  # b, zeros
+        )
     )
     tight = built.get("tight")
     if tight is not None:

@@ -144,7 +144,11 @@ def training_lgm(
     # and splats mostly shrink during fitting, so a modest 1.5x headroom
     # over the (typically fat) initial footprint holds for the whole run
     raster_mode = getattr(pipe, "rasterizer", "tiled")
-    raster_backend = getattr(pipe, "raster_backend", "xla")
+    from sgs_tpu.utils.config import resolve_raster_backend
+
+    raster_backend = resolve_raster_backend(
+        getattr(pipe, "raster_backend", "auto")
+    )
     raster_tight = (
         getattr(pipe, "tight_culling", True) and raster_backend == "pallas"
     )

@@ -94,7 +94,11 @@ def training(
     stats = DensifyStats.zeros(pool.capacity)
     state = TrainState(pool=pool, adam=adam, stats=stats)
     raster_mode = getattr(pipe, "rasterizer", "tiled")
-    raster_backend = getattr(pipe, "raster_backend", "xla")
+    from sgs_tpu.utils.config import resolve_raster_backend
+
+    raster_backend = resolve_raster_backend(
+        getattr(pipe, "raster_backend", "auto")
+    )
     # tight (exact ellipse/tile) binning: Pallas backend only
     raster_tight = (
         getattr(pipe, "tight_culling", True) and raster_backend == "pallas"

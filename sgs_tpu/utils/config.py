@@ -53,7 +53,8 @@ class PipelineParams:
     debug: bool = False
     # TPU-framework extensions: rasterizer selection
     rasterizer: str = "tiled"  # "tiled" (production) | "reference" (oracle)
-    raster_backend: str = "xla"  # "xla" | "pallas" forward kernel
+    raster_backend: str = "auto"  # "auto" | "xla" | "pallas" forward
+    # kernel; "auto" = pallas on TPU, xla elsewhere (resolve_raster_backend)
     # multi-chip training: "none" | "dp" (camera-batch data parallelism
     # over all visible devices; batch size = device count) | "hybrid"
     # (2D camera-DP x Gaussian-shard mesh; see parallel/hybrid.py)
@@ -170,3 +171,14 @@ def _parse_namespace_literal(text: str) -> dict:
         return {kw.arg: ast.literal_eval(kw.value) for kw in call.keywords}
     except (SyntaxError, ValueError):
         return {}
+
+
+def resolve_raster_backend(backend: str) -> str:
+    """"auto" -> the production Pallas kernels on a real accelerator,
+    the XLA scan compositor on CPU (where Pallas runs in slow interpret
+    mode; tests pick explicitly)."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
