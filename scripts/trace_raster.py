@@ -53,9 +53,28 @@ def main():
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
     # tight binning buckets (matches bench.py)
-    max_instances = 1_019_904
-    max_rows = 425_984
-    max_krows = 13_312
+    from sgs_tpu.core.projection import project_gaussians
+    from sgs_tpu.render.tiled import (
+        instance_count_tight, kernel_row_count, row_count,
+    )
+    proj0 = project_gaussians(
+        pool.xyz, pool.get_covariance(), cam.world_view_transform,
+        cam.full_proj_transform, cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT,
+    )
+    valid0 = (proj0["radius"] > 0) & pool.alive
+    inputs0 = pool.render_inputs(0)
+    rows0 = int(row_count(proj0["mean2d"], proj0["radius"], valid0, WIDTH, HEIGHT))
+    max_rows = -(-int(rows0 * 1.25) // 4096) * 4096
+    total0 = int(instance_count_tight(
+        proj0["mean2d"], proj0["conic"], inputs0.opacities[..., 0],
+        proj0["depth"], proj0["radius"], valid0, WIDTH, HEIGHT, max_rows))
+    max_instances = -(-int(total0 * 1.25) // 4096) * 4096
+    krows0 = int(kernel_row_count(
+        proj0["mean2d"], proj0["conic"], inputs0.opacities[..., 0],
+        proj0["depth"], proj0["radius"], valid0, WIDTH, HEIGHT,
+        max_instances, max_rows))
+    max_krows = -(-int(krows0 * 1.15) // 512) * 512
+    print(f"buckets: inst {max_instances} rows {max_rows} krows {max_krows}")
 
     @jax.jit
     def fwd_bwd(p):

@@ -61,7 +61,11 @@ from sgs_tpu.core.projection import (
 
 TILE_PIXELS = TILE * TILE  # 256
 REC = 16  # attribute lanes per instance row (10 used)
-CHUNK = 128  # instance sublanes per row
+CHUNK = 64  # instance sublanes per row: round-3 sweep at 1080p/815k tight
+# instances WITH the kernel-row bucket: 128 -> 64 cuts per-tile padding
+# (slots 1.70M -> 1.31M; pack gather 10.5 -> 8.1 ms) for +0.9 ms of
+# per-row kernel fixed cost (fwd 9.3 -> 10.2) — net -0.7 ms/frame and
+# ~25% smaller grad buffers; 32 loses big (kernels 19.8 + 15.6 ms)
 KROWS = 8  # rows per grid step
 SROWS = 8  # per-pixel state rows: [r,g,b, t_run, t_final, last_contrib, 0,0]
 GRECT = 16  # transposed grad-record SUBLANES: the backward emits ONE
