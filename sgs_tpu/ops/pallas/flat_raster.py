@@ -135,29 +135,40 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     rows_used = chunk_row_start[-1] + n_chunks[-1]
 
     rowv = jnp.arange(max_rows, dtype=jnp.int32)
-    row_tile_c = jnp.clip(
-        jnp.searchsorted(
-            chunk_row_start, rowv, side="right", method="scan_unrolled"
-        ).astype(jnp.int32) - 1,
-        0, num_tiles - 1,
-    )
-    row_valid = rowv < rows_used
-    row_first = row_valid & (rowv == chunk_row_start[row_tile_c])
-    # clip so a bucket-truncated tile still flags its last PRESENT row
-    # (keeps the backward carry init well-defined under row overflow —
-    # the image is flagged-wrong then anyway, but must stay finite)
-    row_last = row_valid & (
-        rowv
-        == jnp.minimum(
-            chunk_row_start[row_tile_c] + n_chunks[row_tile_c] - 1,
-            max_rows - 1,
+    # row -> tile maps via scatter-at-run-start + cummax fills over the
+    # T-scale tables (tiles colliding at one chunk_row_start are empty
+    # except possibly the LARGEST, so max picks the owner; tile_start /
+    # chunk_row_start / tile_end are all non-decreasing, so their owner
+    # values are the run maxima too). Replaces a row-scale searchsorted
+    # + four krows-scale scalar gathers that device-traced ~2.5 ms
+    # combined (each unrolled search step is a ~0.15 ms latency-bound
+    # gather).
+    def rfill(vals):
+        marks = jnp.zeros((max_rows,), jnp.int32).at[chunk_row_start].max(
+            vals.astype(jnp.int32), mode="drop"
         )
+        return jax.lax.cummax(marks)
+
+    row_tile_c = jnp.clip(rfill(jnp.arange(num_tiles, dtype=jnp.int32)),
+                          0, num_tiles - 1)
+    f_crs = rfill(chunk_row_start)  # chunk_row_start of the owning tile
+    f_ts = rfill(tile_start)  # tile_start of the owning tile
+    f_te = rfill(tile_end)  # tile_end of the owning tile
+    row_valid = rowv < rows_used
+    row_first = row_valid & (rowv == f_crs)
+    # the last row of a tile is the one before the next tile's first (or
+    # the last used row); a bucket-truncated tile still flags its last
+    # PRESENT row so the backward carry init stays well-defined under
+    # row overflow (the image is flagged-wrong then anyway)
+    next_crs = jnp.concatenate([f_crs[1:], jnp.full((1,), 2**30, jnp.int32)])
+    row_last = row_valid & (
+        (rowv + 1 == jnp.minimum(next_crs, rows_used)) | (rowv == max_rows - 1)
     )
-    starts = tile_start[row_tile_c] + (rowv - chunk_row_start[row_tile_c]) * CHUNK
+    starts = f_ts + (rowv - f_crs) * CHUNK
 
     lanes = jnp.arange(CHUNK, dtype=jnp.int32)
     src = starts[:, None] + lanes[None, :]
-    live = row_valid[:, None] & (src < tile_end[row_tile_c][:, None])
+    live = row_valid[:, None] & (src < f_te[:, None])
     src = jnp.where(live, src, m)  # m -> sentinel record
 
     rows = attr_sorted[src]  # (R, CHUNK, REC) single wide row-gather
