@@ -161,8 +161,14 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     # PRESENT row so the backward carry init stays well-defined under
     # row overflow (the image is flagged-wrong then anyway)
     next_crs = jnp.concatenate([f_crs[1:], jnp.full((1,), 2**30, jnp.int32)])
+    # rowv+1 == rows_used handles the final used row when the LAST tile
+    # is non-empty: no mark lands at rows_used then, so f_crs[rows_used]
+    # is a stale cummax carry (< rows_used) and the next_crs test alone
+    # misses it — the backward carry for that tile never initializes
     row_last = row_valid & (
-        (rowv + 1 == jnp.minimum(next_crs, rows_used)) | (rowv == max_rows - 1)
+        (rowv + 1 == jnp.minimum(next_crs, rows_used))
+        | (rowv + 1 == rows_used)
+        | (rowv == max_rows - 1)
     )
     starts = f_ts + (rowv - f_crs) * CHUNK
 
