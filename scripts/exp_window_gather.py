@@ -66,16 +66,30 @@ def main():
     rb = fb(attr, starts, ends)
     b_ms, _ = device_ms(fb, (attr, starts, ends), iters=4)
 
-    # equality only holds where windows were not clamped AND lanes live;
-    # with starts <= M and window CHUNK the clamp only shifts rows whose
-    # start > M+1-CHUNK — compare the live lanes
-    src = np.asarray(starts)[:, None] + np.arange(CHUNK)[None, :]
-    live = src < np.asarray(ends)[:, None]
+    # positional equality only holds for UNCLAMPED rows: pack_b places
+    # live data at lanes aligned to the CLAMPED start (starts >
+    # M+1-CHUNK shift the whole window), so compare lane-by-lane only
+    # where no clamp happened, and check the clamped rows' live values
+    # against a reference built from the clamped offsets
+    starts_n = np.asarray(starts)
+    ends_n = np.asarray(ends)
+    unclamped = starts_n <= M + 1 - CHUNK
+    src = starts_n[:, None] + np.arange(CHUNK)[None, :]
+    live = src < ends_n[:, None]
     ra_n = np.asarray(ra).reshape(ROWS, CHUNK, REC)
     rb_n = np.asarray(rb).reshape(ROWS, CHUNK, REC)
-    ok = np.allclose(ra_n[live], rb_n[live]) and np.allclose(
-        rb_n[~live], np.asarray(attr[M])[None, :]
+    u = unclamped[:, None] & live
+    ok = np.allclose(ra_n[u], rb_n[u]) and np.allclose(
+        rb_n[unclamped[:, None] & ~live], np.asarray(attr[M])[None, :]
     )
+    # clamped rows: rebuild the expected window at shifted lanes
+    attr_n = np.asarray(attr)
+    for i in np.nonzero(~unclamped)[0]:
+        s = min(starts_n[i], M + 1 - CHUNK)
+        src_b = s + np.arange(CHUNK)
+        live_b = (src_b >= starts_n[i]) & (src_b < ends_n[i])
+        exp = np.where(live_b[:, None], attr_n[src_b], attr_n[M][None, :])
+        ok = ok and np.allclose(rb_n[i], exp)
     print("A == B (live lanes + sentinel): ", ok)
     print(f"A (2D-index row gather):  {a_ms:7.2f} ms")
     print(f"B (windowed dyn-slice):   {b_ms:7.2f} ms")

@@ -56,8 +56,33 @@ def _weights_path(weights_path: Optional[str]) -> str:
     )
 
 
+def _find_pth_pair(npz_path: str):
+    """Zero-code drop-in: if the .npz is absent but the ORIGINAL .pth
+    files sit in the same directory, ingest them directly.
+
+    Backbone: any torchvision VGG16 state_dict (vgg16*.pth — the
+    published file is vgg16-397923af.pth). Lin head: the richzhang
+    PerceptualSimilarity v0.1 file (vgg.pth / lpips*.pth), layout
+    matching /root/reference/lpipsPyTorch/modules/utils.py:11-30.
+    Returns (vgg_pth, lin_pth) or None."""
+    d = os.path.dirname(npz_path)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(os.listdir(d))
+    vgg = [n for n in names if n.startswith("vgg16") and n.endswith(".pth")]
+    lin = [
+        n for n in names
+        if n.endswith(".pth")
+        and (n == "vgg.pth" or n.startswith("lpips"))
+    ]
+    if vgg and lin:
+        return os.path.join(d, vgg[0]), os.path.join(d, lin[0])
+    return None
+
+
 def lpips_available(weights_path: Optional[str] = None) -> bool:
-    return os.path.exists(_weights_path(weights_path))
+    path = _weights_path(weights_path)
+    return os.path.exists(path) or _find_pth_pair(path) is not None
 
 
 _CACHE = {}
@@ -66,6 +91,11 @@ _CACHE = {}
 def _load_weights(weights_path: Optional[str]) -> dict:
     path = _weights_path(weights_path)
     if path not in _CACHE:
+        if not os.path.exists(path):
+            pair = _find_pth_pair(path)
+            if pair is None:
+                raise FileNotFoundError(path)
+            convert_reference_weights(pair[0], pair[1], path)
         z = np.load(path)
         _CACHE[path] = {k: jnp.asarray(z[k]) for k in z.files}
     return _CACHE[path]
@@ -135,6 +165,49 @@ def lpips(
     conv = {k: v for k, v in w.items() if k.startswith("conv")}
     lin = {k: v for k, v in w.items() if k.startswith("lin")}
     return _lpips_jit(img1, img2, conv, lin)
+
+
+# torchvision VGG16 `features` conv layer indices (convs interleaved
+# with ReLU/MaxPool in the Sequential) — the state_dict key layout of
+# the published vgg16-397923af.pth the reference downloads via
+# torchvision (lpipsPyTorch/modules/networks.py:86).
+_TORCHVISION_VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def convert_reference_weights(
+    vgg_pth: str, lin_pth: str, out_path: str
+) -> None:
+    """Ingest the ACTUAL reference weight files -> .npz.
+
+    vgg_pth: torchvision vgg16 state_dict (`features.{i}.weight/bias`,
+    classifier keys ignored) — the file torchvision's
+    `vgg16(weights=...)` caches. lin_pth: the richzhang
+    PerceptualSimilarity v0.1 lin head (`lin{j}.model.1.weight`, shape
+    (1, C, 1, 1)) that the reference downloads
+    (/root/reference/lpipsPyTorch/modules/utils.py:11-30); the newer
+    `lins.{j}.model.1.weight` key spelling is accepted too."""
+    import torch
+
+    sd = torch.load(vgg_pth, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):  # a full pickled Module
+        sd = sd.state_dict()
+    arrays = {}
+    for ci, li in enumerate(_TORCHVISION_VGG16_CONV_IDX):
+        w = sd[f"features.{li}.weight"].numpy()  # OIHW
+        b = sd[f"features.{li}.bias"].numpy()
+        arrays[f"conv{ci}_w"] = w.transpose(2, 3, 1, 0).astype(np.float32)
+        arrays[f"conv{ci}_b"] = b.astype(np.float32)
+    lin_sd = torch.load(lin_pth, map_location="cpu", weights_only=True)
+    for j in range(5):
+        for key in (f"lin{j}.model.1.weight", f"lins.{j}.model.1.weight"):
+            if key in lin_sd:
+                break
+        else:
+            raise KeyError(f"no lin{j} weight in {lin_pth}")
+        w = lin_sd[key].numpy()  # (1, C, 1, 1)
+        arrays[f"lin{j}_w"] = w.transpose(2, 3, 1, 0).astype(np.float32)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez(out_path, **arrays)
 
 
 def convert_torchvision_weights(out_path: str) -> None:

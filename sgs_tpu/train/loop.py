@@ -13,6 +13,7 @@ active SH degree (4 values over a run).
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

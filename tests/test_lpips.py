@@ -10,6 +10,8 @@ Reference semantics: /root/reference/lpipsPyTorch/modules/{lpips,networks,
 utils}.py.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -97,6 +99,89 @@ def test_lpips_matches_torch(tmp_path):
     # identical images -> exactly 0
     same = jl.lpips(x, x, weights_path=path)
     np.testing.assert_allclose(np.asarray(same), 0.0, atol=1e-7)
+
+
+def _synthetic_pth_pair(tmp_path, seed=1):
+    """Build .pth files in the ACTUAL published layouts: a torchvision
+    VGG16 state_dict (features.{i}.weight at the Sequential conv
+    indices, plus classifier keys that must be ignored) and a richzhang
+    v0.1 lin state_dict (lin{j}.model.1.weight, (1, C, 1, 1))."""
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    rng = np.random.default_rng(seed)
+    sd = {}
+    arrays = {}
+    for ci, (cin, cout, _) in enumerate(_PLAN):
+        w = rng.normal(0, 0.08, (cout, cin, 3, 3)).astype(np.float32)
+        b = rng.normal(0, 0.01, (cout,)).astype(np.float32)
+        sd[f"features.{conv_idx[ci]}.weight"] = torch.from_numpy(w)
+        sd[f"features.{conv_idx[ci]}.bias"] = torch.from_numpy(b)
+        arrays[f"conv{ci}_w"] = w.transpose(2, 3, 1, 0)
+        arrays[f"conv{ci}_b"] = b
+    sd["classifier.0.weight"] = torch.zeros(2, 2)  # must be ignored
+    lin_sd = {}
+    for j, c in enumerate(_LIN_CH):
+        w = np.abs(rng.normal(0, 0.05, (1, c, 1, 1))).astype(np.float32)
+        lin_sd[f"lin{j}.model.1.weight"] = torch.from_numpy(w)
+        arrays[f"lin{j}_w"] = w.transpose(2, 3, 1, 0)
+    vgg_pth = str(tmp_path / "vgg16-397923af.pth")
+    lin_pth = str(tmp_path / "vgg.pth")
+    torch.save(sd, vgg_pth)
+    torch.save(lin_sd, lin_pth)
+    return vgg_pth, lin_pth, arrays
+
+
+def test_reference_pth_ingest_end_to_end(tmp_path, monkeypatch):
+    """Dropping the real richzhang/torchvision .pth files in must be
+    zero-code: lpips_available() sees them, _load_weights converts, and
+    metrics.py reports a real (non-null) LPIPS that matches the torch
+    transcription on the same weights (VERDICT r2 missing #2)."""
+    from PIL import Image
+
+    vgg_pth, lin_pth, arrays = _synthetic_pth_pair(tmp_path)
+    npz = str(tmp_path / "lpips_vgg16.npz")
+    # availability via the pth pair alone (no npz yet)
+    assert jl.lpips_available(npz)
+
+    jl.convert_reference_weights(vgg_pth, lin_pth, npz)
+    z = np.load(npz)
+    for k, v in arrays.items():
+        np.testing.assert_array_equal(z[k], v)
+
+    # numerics through the converted file match the torch transcription
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (1, 3, 32, 32)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_lpips(torch.from_numpy(x), torch.from_numpy(y), arrays)
+    ours = jl.lpips(x, y, weights_path=npz)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-6)
+
+    # end-to-end through metrics.py: results.json LPIPS is non-null
+    import metrics as metrics_cli
+
+    model = tmp_path / "model"
+    rdir = model / "test" / "ours_30000" / "renders"
+    gdir = model / "test" / "ours_30000" / "gt"
+    rdir.mkdir(parents=True)
+    gdir.mkdir(parents=True)
+    img = (rng.uniform(0, 1, (32, 32, 3)) * 255).astype(np.uint8)
+    img2 = np.clip(
+        img.astype(np.int32) + rng.integers(-20, 20, img.shape), 0, 255
+    ).astype(np.uint8)
+    Image.fromarray(img).save(rdir / "00000.png")
+    Image.fromarray(img2).save(gdir / "00000.png")
+    # fresh npz path exercising the auto-convert inside _load_weights
+    auto_npz = str(tmp_path / "auto" / "lpips_vgg16.npz")
+    os.makedirs(tmp_path / "auto")
+    os.link(vgg_pth, tmp_path / "auto" / "vgg16-397923af.pth")
+    os.link(lin_pth, tmp_path / "auto" / "vgg.pth")
+    monkeypatch.setenv("SGS_LPIPS_WEIGHTS", auto_npz)
+    metrics_cli.evaluate([str(model)])
+    import json
+
+    results = json.load(open(model / "results.json"))
+    val = results["ours_30000"]["LPIPS"]
+    assert val is not None and np.isfinite(val) and val > 0
 
 
 def test_lpips_unavailable_raises(tmp_path):
