@@ -92,6 +92,161 @@ def num_rows(max_instances: int, num_tiles: int) -> int:
     return -(-r // KROWS) * KROWS
 
 
+def row_maps(chunk_row_start, n_chunks, rows_used, num_tiles, max_rows):
+    """Kernel row -> tile / tile-first / tile-last maps via
+    scatter-at-tile-start + cummax fills (tiles colliding at one
+    chunk_row_start are empty except possibly the LARGEST, so max picks
+    the owner). Shared by the gather (pack_rows) and aligned
+    (pack_aligned) packers."""
+    i32 = jnp.int32
+    rowv = jnp.arange(max_rows, dtype=i32)
+
+    def rfill(vals):
+        marks = jnp.zeros((max_rows,), i32).at[chunk_row_start].max(
+            vals.astype(i32), mode="drop"
+        )
+        return jax.lax.cummax(marks)
+
+    row_tile_c = jnp.clip(
+        rfill(jnp.arange(num_tiles, dtype=i32)), 0, num_tiles - 1
+    )
+    f_crs = rfill(chunk_row_start)  # chunk_row_start of the owning tile
+    row_valid = rowv < rows_used
+    row_first = row_valid & (rowv == f_crs)
+    # the last row of a tile is the one before the next tile's first (or
+    # the last used row); a bucket-truncated tile still flags its last
+    # PRESENT row so the backward carry init stays well-defined under
+    # row overflow (the image is flagged-wrong then anyway).
+    # rowv+1 == rows_used handles the final used row when the LAST tile
+    # is non-empty: no mark lands at rows_used then, so f_crs[rows_used]
+    # is a stale cummax carry (< rows_used) and the next-first test alone
+    # misses it — the backward carry for that tile never initializes
+    next_crs = jnp.concatenate([f_crs[1:], jnp.full((1,), 2**30, i32)])
+    row_last = row_valid & (
+        (rowv + 1 == jnp.minimum(next_crs, rows_used))
+        | (rowv + 1 == rows_used)
+        | (rowv == max_rows - 1)
+    )
+    row_tile = jnp.where(row_valid, row_tile_c, num_tiles)
+    return (
+        row_tile, row_first.astype(i32), row_last.astype(i32), f_crs,
+        row_valid,
+    )
+
+
+def tile_ranges(tile_sorted, num_tiles):
+    """Per-tile [start, end) ranges of a tile-sorted id array, via
+    log2(M) unrolled binary-search gathers (the default vmapped
+    while-loop searchsorted costs ~8 ms/frame at 8k tiles)."""
+    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(
+        tile_sorted, tiles, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        tile_sorted, tiles, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)
+    return tile_start, tile_end
+
+
+def pack_aligned(tile_id, rowid, num_tiles, max_rows, r_sentinel):
+    """CHUNK-align tile ranges INSIDE the sort: the sorted array IS the
+    padded slot layout, so the slots-scale pack gather of pack_rows
+    disappears (the caller gathers attributes ONCE, straight from the
+    R-scale row table) — the round-3 successor to the measured-dead
+    windowed-gather and dynamic-DMA routes (PERF_NOTES roadmap 1b).
+
+    tile_id: (M,) UNSORTED instance tile ids (num_tiles = dead), emitted
+      depth-rank-major (stable order within a tile = depth order).
+    rowid: (M,) level-1 row id per instance, already sentinel-mapped for
+      dead instances.
+
+    Mechanics: a first 1-key sort yields per-tile counts (T-scale
+    searchsorted); each tile t needs pad_t = n_chunks_t*CHUNK - count_t
+    dead entries, laid out in a (T*(CHUNK-1),) padding array by one
+    scatter+cummax fill over the cumsum'd pad offsets (colliders at one
+    offset are pad-0 tiles except possibly the largest id, which owns
+    the run). A second stable 1-key sort over [instances ++ padding]
+    then lands every tile block at chunk_row_start[t]*CHUNK exactly:
+    stability keeps instances (concatenated first) ahead of their tile's
+    padding and preserves depth order. Dead entries sort to the end and
+    are cut by the static slice to slots.
+
+    Returns (rowid_padded (slots,) int32 — index into the caller's
+    (R+1,)-row attribute table, r_sentinel rows for dead slots via the
+    caller's rowid sentinel; inst_padded (slots,) int32 — ORIGINAL
+    instance index per slot (m = dead), feeding
+    slot_of_inst_from_padded; row_tile/row_first/row_last (max_rows,);
+    chunk_row_start/n_chunks (T,); rows_used () int32)."""
+    i32 = jnp.int32
+    m = tile_id.shape[0]
+    slots = max_rows * CHUNK
+    pad_cap = num_tiles * (CHUNK - 1)
+
+    tile_s = jax.lax.sort(tile_id)
+    tile_start, tile_end = tile_ranges(tile_s, num_tiles)
+    counts = tile_end - tile_start
+    n_chunks = -(-counts // CHUNK)
+    chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(i32)
+    rows_used = chunk_row_start[-1] + n_chunks[-1]
+
+    pad_t = n_chunks * CHUNK - counts  # in [0, CHUNK-1]
+    p_off = (jnp.cumsum(pad_t) - pad_t).astype(i32)
+    pad_total = p_off[-1] + pad_t[-1]
+    pidx = jnp.arange(pad_cap, dtype=i32)
+    owner = jax.lax.cummax(
+        jnp.zeros((pad_cap,), i32).at[p_off].max(
+            jnp.arange(num_tiles, dtype=i32), mode="drop"
+        )
+    )
+    pad_tile = jnp.where(pidx < pad_total, owner, num_tiles)
+
+    keys = jnp.concatenate([tile_id, pad_tile])
+    rows = jnp.concatenate([rowid, jnp.full((pad_cap,), r_sentinel, i32)])
+    insts = jnp.concatenate([jnp.arange(m, dtype=i32), jnp.full((pad_cap,), m, i32)])
+    _, rowid_p, inst_p = jax.lax.sort(
+        (keys, rows, insts), num_keys=1, is_stable=True
+    )
+    total_len = m + pad_cap
+    if slots <= total_len:
+        rowid_padded, inst_padded = rowid_p[:slots], inst_p[:slots]
+    else:
+        ext = slots - total_len
+        rowid_padded = jnp.concatenate(
+            [rowid_p, jnp.full((ext,), r_sentinel, i32)]
+        )
+        inst_padded = jnp.concatenate([inst_p, jnp.full((ext,), m, i32)])
+
+    row_tile, row_first, row_last, _, _ = row_maps(
+        chunk_row_start, n_chunks, rows_used, num_tiles, max_rows
+    )
+    return (
+        rowid_padded, inst_padded, row_tile, row_first, row_last,
+        chunk_row_start, n_chunks, rows_used,
+    )
+
+
+def slot_of_inst_from_padded(inst_padded, m):
+    """Invert the aligned layout's slot -> instance map: ONE cheap
+    2-array sort at slots scale (replaces the M-scale fill + sort of
+    the removed padded_slot_of_presort). Position p of the result is
+    instance p's padded slot when no row-bucket overflow occurred
+    (under overflow dropped instances shift the tail — the frame is
+    flagged wrong and regrown then anyway). Entries for dead instances
+    point at arbitrary dead slots (zero grads) and are never addressed
+    by the rank segments."""
+    i32 = jnp.int32
+    slots = inst_padded.shape[0]
+    _, slot_sorted = jax.lax.sort(
+        (inst_padded, jnp.arange(slots, dtype=i32)), num_keys=1,
+        is_stable=True,
+    )
+    if slots >= m:
+        return slot_sorted[:m]
+    return jnp.concatenate(
+        [slot_sorted, jnp.full((m - slots,), slots - 1, i32)]
+    )
+
+
 def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     """Chunk-pad the tile-sorted instance list into kernel-ready rows.
 
@@ -119,57 +274,25 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
              rows_used () int32).
     """
     m = tile_sorted.shape[0]
-    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    # scan_unrolled: log2(M) parallel gathers instead of a vmapped while
-    # loop (the default binary search costs ~8 ms/frame in while-loop
-    # overhead at 8k tiles; unrolled it fuses to noise)
-    tile_start = jnp.searchsorted(
-        tile_sorted, tiles, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        tile_sorted, tiles, side="right", method="scan_unrolled"
-    ).astype(jnp.int32)
+    tile_start, tile_end = tile_ranges(tile_sorted, num_tiles)
     counts = tile_end - tile_start
     n_chunks = -(-counts // CHUNK)
     chunk_row_start = (jnp.cumsum(n_chunks) - n_chunks).astype(jnp.int32)
     rows_used = chunk_row_start[-1] + n_chunks[-1]
 
-    rowv = jnp.arange(max_rows, dtype=jnp.int32)
-    # row -> tile maps via scatter-at-run-start + cummax fills over the
-    # T-scale tables (tiles colliding at one chunk_row_start are empty
-    # except possibly the LARGEST, so max picks the owner; tile_start /
-    # chunk_row_start / tile_end are all non-decreasing, so their owner
-    # values are the run maxima too). Replaces a row-scale searchsorted
-    # + four krows-scale scalar gathers that device-traced ~2.5 ms
-    # combined (each unrolled search step is a ~0.15 ms latency-bound
-    # gather).
+    row_tile, row_first, row_last, f_crs, row_valid = row_maps(
+        chunk_row_start, n_chunks, rows_used, num_tiles, max_rows
+    )
+
     def rfill(vals):
         marks = jnp.zeros((max_rows,), jnp.int32).at[chunk_row_start].max(
             vals.astype(jnp.int32), mode="drop"
         )
         return jax.lax.cummax(marks)
 
-    row_tile_c = jnp.clip(rfill(jnp.arange(num_tiles, dtype=jnp.int32)),
-                          0, num_tiles - 1)
-    f_crs = rfill(chunk_row_start)  # chunk_row_start of the owning tile
+    rowv = jnp.arange(max_rows, dtype=jnp.int32)
     f_ts = rfill(tile_start)  # tile_start of the owning tile
     f_te = rfill(tile_end)  # tile_end of the owning tile
-    row_valid = rowv < rows_used
-    row_first = row_valid & (rowv == f_crs)
-    # the last row of a tile is the one before the next tile's first (or
-    # the last used row); a bucket-truncated tile still flags its last
-    # PRESENT row so the backward carry init stays well-defined under
-    # row overflow (the image is flagged-wrong then anyway)
-    next_crs = jnp.concatenate([f_crs[1:], jnp.full((1,), 2**30, jnp.int32)])
-    # rowv+1 == rows_used handles the final used row when the LAST tile
-    # is non-empty: no mark lands at rows_used then, so f_crs[rows_used]
-    # is a stale cummax carry (< rows_used) and the next_crs test alone
-    # misses it — the backward carry for that tile never initializes
-    row_last = row_valid & (
-        (rowv + 1 == jnp.minimum(next_crs, rows_used))
-        | (rowv + 1 == rows_used)
-        | (rowv == max_rows - 1)
-    )
     starts = f_ts + (rowv - f_crs) * CHUNK
 
     lanes = jnp.arange(CHUNK, dtype=jnp.int32)
@@ -180,15 +303,12 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
     rows = attr_sorted[src]  # (R, CHUNK, REC) single wide row-gather
     windows = rows[:, :, 9].astype(jnp.int32)
     packed = rows.reshape(max_rows * CHUNK, REC)
-    # dead (padding) rows carry the sentinel tile id so the kernels skip
-    # their VPU work entirely
-    row_tile = jnp.where(row_valid, row_tile_c, num_tiles)
     return (
         packed,
         windows,
         row_tile,
-        row_first.astype(jnp.int32),
-        row_last.astype(jnp.int32),
+        row_first,
+        row_last,
         chunk_row_start,
         n_chunks,
         tile_start,
@@ -377,16 +497,22 @@ def _bwd_kernel(
                 + dc[2:3, :] * bg_ref[2]
             )
 
-        grad_ref[:, j * CHUNK:(j + 1) * CHUNK] = jnp.zeros(
-            (GRECT, CHUNK), jnp.float32
-        )
-
         # rows entirely past the tile's last contributor have zero grads
         # and unchanged carries (their u == 1, w == 0): skip the VPU work,
         # as for dead padding rows (sentinel tile id)
         row_pos0 = (r * CHUNK).astype(jnp.float32)
+        live_row = (t < num_tiles) & (jnp.max(lastc) > row_pos0)
 
-        @pl.when((t < num_tiles) & (jnp.max(lastc) > row_pos0))
+        # zero-fill ONLY skipped rows (the reduction reads dead slots as
+        # zeros); live rows write their grads exactly once below — the
+        # old unconditional zero-fill doubled the 84 MB grad-stream
+        @pl.when(jnp.logical_not(live_row))
+        def _():
+            grad_ref[:, j * CHUNK:(j + 1) * CHUNK] = jnp.zeros(
+                (GRECT, CHUNK), jnp.float32
+            )
+
+        @pl.when(live_row)
         def _():
             r_old = carry[0:1, :]  # (1, 256)
             sdc_old = carry[1:2, :]  # (1, 256): dC . suffix carry
@@ -525,28 +651,6 @@ def backward_flat(
     return grads_t
 
 
-def padded_slot_of_presort(tile_start, chunk_row_start, inst_s, m, slots):
-    """slot_of_inst (m,): for every PRESORT instance index, its padded
-    slot in the kernel layout.
-
-    The padded layout inserts `pad_before(t) = chunk_row_start[t]*CHUNK -
-    tile_start[t]` dead slots before tile t's range; pad_before is
-    non-decreasing in t, so ONE scatter-at-tile-starts + cummax fill maps
-    every sorted position p to its padded slot ps[p] = p + pad_before.
-    A second cheap (key, val) int sort on the carried presort index then
-    yields ps in presort order. Dead presort instances clamp into the
-    last slot; segment boundaries never address them.
-    """
-    i32 = jnp.int32
-    pad_before = chunk_row_start * CHUNK - tile_start
-    fill = jax.lax.cummax(
-        jnp.zeros((m,), i32).at[tile_start].max(pad_before, mode="drop")
-    )
-    ps = jnp.minimum(jnp.arange(m, dtype=i32) + fill, slots - 1)
-    _, slot_of_inst = jax.lax.sort((inst_s, ps), num_keys=1, is_stable=True)
-    return slot_of_inst
-
-
 def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
     """Per-slot gradient records -> per-ORIGINAL-GAUSSIAN (n, 9) sums,
     via presort-contiguous segments (the tight path's reduction).
@@ -571,17 +675,38 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
     r_cap = offs2.shape[0] - 1
     gpr = 128 // GREC  # grad records per 128-lane packed row
 
-    # rank j's presort range [starts_j, ends_j)
+    # rank ranges are CONSECUTIVE in presort order (rows are emitted
+    # rank-major and offs2 is their CSR cumsum), so ends[j] ==
+    # starts[j+1]: evaluating the prefix once at the n+1 boundary
+    # positions halves the prefix row-gathers vs a starts/ends pair.
     rank_row0, rank_nrows = rank_rows
-    starts = offs2[jnp.minimum(rank_row0, r_cap)]
-    ends = offs2[jnp.minimum(rank_row0 + rank_nrows, r_cap)]
+    bounds_rows = jnp.concatenate(
+        [rank_row0, (rank_row0[-1] + rank_nrows[-1])[None]]
+    )
+    bounds = offs2[jnp.minimum(bounds_rows, r_cap)]  # (n+1,)
 
     def seg_sum(padgrad):
         g = padgrad[slot_of_inst]  # (m, GREC) rows, presort order
-        rows = g.reshape(m // gpr, 128)
-        cs = jnp.cumsum(rows, axis=0)
+        # barrier pins the gather output to a real row-major buffer so
+        # the lane-pack reshape below is a bitcast, not a layout copy
+        # (device-traced 0.7 ms otherwise)
+        g = jax.lax.optimization_barrier(g)
+        r0 = m // gpr
+        rows = g.reshape(r0, 128)
+        # two-level cumsum: XLA lowers a flat 64k-row cumsum as log2(n)
+        # full-array shifted-add passes (~1.9 ms device at 1M instances);
+        # grouping halves the pass count for one extra offset-add pass
+        grp_n = 256
+        if r0 % grp_n == 0 and r0 > grp_n:
+            grp = rows.reshape(r0 // grp_n, grp_n, 128)
+            cs_in = jnp.cumsum(grp, axis=1)
+            tot = cs_in[:, -1, :]
+            off = jnp.cumsum(tot, axis=0) - tot
+            cs = (cs_in + off[:, None, :]).reshape(r0, 128)
+        else:
+            cs = jnp.cumsum(rows, axis=0)
 
-        def prefix_at(pos):  # (n,) -> (n, GREC) exclusive prefix of g
+        def prefix_at(pos):  # (k,) -> (k, GREC) exclusive prefix of g
             r = pos // gpr
             k = pos % gpr
             nz = (r > 0)[:, None]
@@ -596,7 +721,8 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
             ).sum(axis=1)
             return full + within
 
-        return prefix_at(ends) - prefix_at(starts)  # (n, GREC), rank order
+        p = prefix_at(bounds)  # (n+1, GREC)
+        return p[1:] - p[:-1]  # (n, GREC), rank order
 
     seg_a = seg_sum(padgrads[0])
     seg_b = seg_sum(padgrads[1])

@@ -246,35 +246,38 @@ def kernel_row_count(
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     if max_row_instances > 0:
-        tile_s = _build_instances_tight(
-            mean2d, conic, opacity, depth, radius, valid,
-            width, height, max_instances, max_row_instances,
-        )[0]
+        tile_s = jax.lax.sort(
+            _expand_instances_tight(
+                mean2d, conic, opacity, depth, radius, valid,
+                width, height, max_instances, max_row_instances,
+            )[0]
+        )
     else:
         tile_s = _build_instances(
             mean2d, depth, radius, valid, width, height, max_instances
         )[0]
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
-    tiles = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    start = jnp.searchsorted(tile_s, tiles, side="left", method="scan_unrolled")
-    end = jnp.searchsorted(tile_s, tiles, side="right", method="scan_unrolled")
+    start, end = fr.tile_ranges(tile_s, tiles_x * tiles_y)
     return jnp.sum(-(-(end - start) // fr.CHUNK))
 
 
-def _build_instances_tight(
+def _expand_instances_tight(
     mean2d, conic, opacity, depth, radius, valid,
     width, height, max_instances, max_row_instances,
 ):
     """Tight binning: two-level expansion (Gaussians -> tile rows ->
-    exactly-overlapped tiles) producing the same contract as
-    `_build_instances` but with only the instances that can contribute
-    a non-zero alpha (see _x_tile_interval).
+    exactly-overlapped tiles) emitting UNSORTED per-instance ids with
+    only the instances that can contribute a non-zero alpha (see
+    _x_tile_interval).
 
-    Returns (tile_s (M,), rowid_s (M,) ROW ids, grank (R,) row -> depth
-    rank, order (N,), overflow, num_tiles, tiles_x, tiles_y). Instances
-    are emitted depth-rank-major so the stable tile sort preserves
-    per-tile depth order, exactly like the rect path."""
+    Returns (tile_id (M,) instance tile ids, rowid (M,) level-1 ROW ids
+    (r_cap = dead sentinel), grank (R,) row -> depth rank, offs2_ptr
+    (R+1,) CSR row pointers, rank_rows, order (N,), overflow, num_tiles,
+    tiles_x, tiles_y). Instances are emitted depth-rank-major, so any
+    STABLE tile-keyed sort downstream preserves per-tile depth order —
+    the aligned packer (flat_raster.pack_aligned) relies on exactly
+    this."""
     i32 = jnp.int32
     m = max_instances
     (order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
@@ -335,12 +338,9 @@ def _build_instances_tight(
         base_tile = (f_ty & mask) * tiles_x + (f_x & mask)
     live = inst < jnp.minimum(total, m)
     tile_id = jnp.where(live, base_tile + rank2, num_tiles).astype(i32)
-    # carry the PRESORT instance index through the sort: the backward's
-    # per-Gaussian reduction runs over presort order, where every
-    # Gaussian's instances are contiguous (depth-rank-major emission)
-    tile_s, rowid_s, inst_s = jax.lax.sort(
-        (tile_id, rid, inst), num_keys=1, is_stable=True
-    )
+    # dead instances carry the row sentinel so downstream attribute
+    # lookups hit the zero (opacity-0) sentinel record
+    rowid = jnp.where(live, rid, r_cap)
     # CSR-style row pointers: offs2_ptr[j] = first instance of row j,
     # offs2_ptr[r_cap] = total; rank n's rows are
     # [rank_row0[n], rank_row0[n] + rank_nrows[n]) (N-scale, free from
@@ -349,7 +349,7 @@ def _build_instances_tight(
     offs2_ptr = jnp.concatenate([offs2, (offs2[-1] + w[-1])[None]])
     rank_rows = (rank_row0, rank_nrows)
     return (
-        tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order,
+        tile_id, rowid, grank, offs2_ptr, rank_rows, order,
         overflow, num_tiles, tiles_x, tiles_y,
     )
 
@@ -489,18 +489,17 @@ def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
     return jnp.concatenate([attr_sorted, sentinel])
 
 
-def _attr_records_tight(
-    mean2d, conic, rgb, opacity, order, grank, rowid_s, tile_s, num_tiles
-):
-    """Tight-path attribute records: the per-ROW indirection means the
-    random gather reads from an R-sized (row) table instead of N — same
-    wide-row-gather cost class as the rect path's, plus one MONOTONE
-    R-scale gather."""
+def _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank):
+    """Tight-path per-ROW attribute table (R+1, REC): the aligned packer
+    indexes this table DIRECTLY per padded slot (one slots-scale random
+    row gather from the R-sized table — the smallest table the pipeline
+    can offer), replacing the former M-scale attr gather + slots-scale
+    pack gather pair (~14 ms combined at 1080p/100k). Sentinel row at
+    r_cap (opacity 0)."""
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
     n = mean2d.shape[0]
-    r_cap = grank.shape[0]
     assert n < (1 << 24), "f32 id column exact only below 2^24 gaussians"
     attr = jnp.concatenate(
         [
@@ -511,12 +510,8 @@ def _attr_records_tight(
         axis=1,
     )
     sentinel = jnp.zeros((1, fr.REC), f32).at[0, 9].set(float(n))
-    attr_rows = jnp.concatenate(
-        [attr[order][grank], sentinel]
-    )  # (R+1, REC); [order] is N-scale, [grank] monotone
-    rowid_safe = jnp.where(tile_s < num_tiles, rowid_s, r_cap)
-    attr_sorted = attr_rows[rowid_safe]  # (M, REC) random row gather
-    return jnp.concatenate([attr_sorted, sentinel])
+    # [order] is an N-scale gather, [grank] monotone at R scale
+    return jnp.concatenate([attr[order][grank], sentinel])
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -568,18 +563,32 @@ def _forward_pallas(
 
     f32 = jnp.float32
     tight_extras = None
+    windows = None
     if max_row_instances > 0:
-        (tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order,
+        (tile_id, rowid, grank, offs2_ptr, rank_rows, order,
          overflow, num_tiles, tiles_x, tiles_y) = (
-            _build_instances_tight(
+            _expand_instances_tight(
                 mean2d, conic, opacity, depth, radius, valid,
                 width, height, max_instances, max_row_instances,
             )
         )
-        attr_sorted = _attr_records_tight(
-            mean2d, conic, rgb, opacity, order, grank, rowid_s, tile_s,
-            num_tiles,
+        if max_kernel_rows > 0:
+            assert max_kernel_rows % fr.KROWS == 0, "kernel-row bucket % KROWS"
+            max_rows = max_kernel_rows
+        else:
+            max_rows = fr.num_rows(max_instances, num_tiles)
+        r_cap = grank.shape[0]
+        (rowid_padded, inst_padded, row_tile, row_first, row_last, crs,
+         nch, rows_used) = fr.pack_aligned(
+            tile_id, rowid, num_tiles, max_rows, r_cap
         )
+        overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
+        attr_rows = _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank)
+        packed = attr_rows[rowid_padded]  # (slots, REC): THE pack gather
+        tight_extras = {
+            "inst_padded": inst_padded, "rank_rows": rank_rows,
+            "offs2_ptr": offs2_ptr, "order": order,
+        }
     else:
         tile_s, gi_s, order, overflow, num_tiles, tiles_x, tiles_y = (
             _build_instances(
@@ -587,23 +596,14 @@ def _forward_pallas(
             )
         )
         attr_sorted = _attr_records(mean2d, conic, rgb, opacity, order, gi_s)
-    if max_kernel_rows > 0:
-        assert max_kernel_rows % fr.KROWS == 0, "kernel-row bucket % KROWS"
-        max_rows = max_kernel_rows
-    else:
-        max_rows = fr.num_rows(max_instances, num_tiles)
-    (packed, windows, row_tile, row_first, row_last, crs, nch, tile_start,
-     rows_used) = fr.pack_rows(attr_sorted, tile_s, num_tiles, max_rows)
-    # row-bucket overflow: count the dropped slots like instance overflow
-    overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
-    if max_row_instances > 0:
-        slot_of_inst = fr.padded_slot_of_presort(
-            tile_start, crs, inst_s, max_instances, max_rows * fr.CHUNK
-        )
-        tight_extras = {
-            "slot_of_inst": slot_of_inst, "rank_rows": rank_rows,
-            "offs2_ptr": offs2_ptr, "order": order,
-        }
+        if max_kernel_rows > 0:
+            assert max_kernel_rows % fr.KROWS == 0, "kernel-row bucket % KROWS"
+            max_rows = max_kernel_rows
+        else:
+            max_rows = fr.num_rows(max_instances, num_tiles)
+        (packed, windows, row_tile, row_first, row_last, crs, nch, _ts,
+         rows_used) = fr.pack_rows(attr_sorted, tile_s, num_tiles, max_rows)
+        overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
     interpret = jax.default_backend() == "cpu"
     # transposed (REC, slots) kernel operand: compact under the Pallas
     # {1,0} layout (a (slots, 16) operand would be lane-padded 8x)
@@ -771,9 +771,14 @@ def _backward_pallas_host(
     tight = built.get("tight")
     if tight is not None:
         # presort-contiguous reduction (no scatter-add; see
-        # flat_raster.reduce_grads_presort)
+        # flat_raster.reduce_grads_presort). slot_of_inst is derived
+        # HERE (backward-only cost) from the aligned layout's
+        # slot -> instance map.
+        slot_of_inst = fr.slot_of_inst_from_padded(
+            tight["inst_padded"], max_instances
+        )
         d = fr.reduce_grads_presort(
-            padgrads, tight["slot_of_inst"], tight["rank_rows"],
+            padgrads, slot_of_inst, tight["rank_rows"],
             tight["offs2_ptr"], tight["order"], n,
         )
     else:

@@ -1,6 +1,6 @@
 """Tight (exact ellipse/tile) binning: parity vs the rect path.
 
-The tight expansion (render/tiled.py:_build_instances_tight) culls
+The tight expansion (render/tiled.py:_expand_instances_tight) culls
 (Gaussian, tile) pairs whose alpha is < 1/255 at every tile pixel — those
 contribute exactly zero in the kernels (and in the CUDA reference design,
 whose per-pixel test drops a < 1/255; see upstream forward.cu semantics at
@@ -121,7 +121,7 @@ def test_row_overflow_reported():
 def test_tight_count_matches_build():
     """instance_count_tight agrees with the live-instance total of the
     actual tight expansion."""
-    from sgs_tpu.render.tiled import _build_instances_tight
+    from sgs_tpu.render.tiled import _expand_instances_tight
 
     mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(5)
     rc = int(row_count(mean2d, radius, valid, w, h)) + 16
@@ -131,11 +131,11 @@ def test_tight_count_matches_build():
         )
     )
     m = -(-ti // 256) * 256 + 512
-    (tile_s, rowid_s, inst_s, grank, offs2_ptr, rank_rows, order, ovf,
+    (tile_id, rowid, grank, offs2_ptr, rank_rows, order, ovf,
      num_tiles, tx, ty) = (
-        _build_instances_tight(
+        _expand_instances_tight(
             mean2d, conic, opac, depth, radius, valid, w, h, m, rc
         )
     )
     assert int(ovf) == 0
-    assert int(jnp.sum(tile_s < num_tiles)) == ti
+    assert int(jnp.sum(tile_id < num_tiles)) == ti
