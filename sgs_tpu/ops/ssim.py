@@ -45,14 +45,7 @@ def _separable_window_conv(img: jnp.ndarray, w1d: jnp.ndarray, pad: int) -> jnp.
     return _conv1d_axis(_conv1d_axis(img, w1d, 2, pad), w1d, 1, pad)
 
 
-@partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over a (C, H, W) image pair.
-
-    The reference's 11x11 window is outer(g, g) (loss_utils.py:23-33), so
-    the 2D conv factors exactly into two 1D passes; results match the
-    monolithic conv to ~1e-8.
-    """
+def _ssim_jnp(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int) -> jnp.ndarray:
     sigma = 1.5
     w1d = _gaussian_window(window_size, sigma)
     pad = window_size // 2
@@ -69,6 +62,52 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
     return jnp.mean(ssim_map)
+
+
+@jax.custom_vjp
+def _ssim_fused(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    from sgs_tpu.ops.pallas import ssim_kernels as sk
+
+    return sk.ssim_forward(img1, img2)[0]
+
+
+def _ssim_fused_fwd(img1, img2):
+    from sgs_tpu.ops.pallas import ssim_kernels as sk
+
+    mean, p_h_t = sk.ssim_forward(img1, img2)
+    return mean, (img1, img2, p_h_t)
+
+
+def _ssim_fused_bwd(res, cot):
+    from sgs_tpu.ops.pallas import ssim_kernels as sk
+
+    img1, img2, p_h_t = res
+    dx, dy = sk.ssim_backward(img1, img2, p_h_t, cot)
+    return dx.astype(img1.dtype), dy.astype(img2.dtype)
+
+
+_ssim_fused.defvjp(_ssim_fused_fwd, _ssim_fused_bwd)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over a (C, H, W) image pair.
+
+    The reference's 11x11 window is outer(g, g) (loss_utils.py:23-33), so
+    the 2D conv factors exactly into two 1D passes; results match the
+    monolithic conv to ~1e-8.
+
+    On an accelerator with the standard 11-tap window this dispatches to
+    the fused Pallas kernels (sgs_tpu/ops/pallas/ssim_kernels.py): the
+    shift-and-add jnp form re-reads each 24 MB map 11 times per pass and
+    device-traces ~9.4 ms/frame fwd+bwd at 1080p; the fused streaming
+    kernels cut that to ~1-2 ms. The jnp path stays as the CPU/odd-window
+    oracle (tests compare the two)."""
+    if window_size == 11 and jax.default_backend() != "cpu" and img1.ndim == 3:
+        return _ssim_fused(
+            img1.astype(jnp.float32), img2.astype(jnp.float32)
+        )
+    return _ssim_jnp(img1, img2, window_size)
 
 
 def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
