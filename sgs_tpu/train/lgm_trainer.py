@@ -155,9 +155,13 @@ def training_lgm(
     max_instances = 0
     max_rows = 0
     max_krows = 0
-    if raster_mode == "tiled":
+
+    def compute_buckets(model_now):
+        """Size the instance/row/kernel-row buckets from count pre-passes
+        on the first train camera with the CURRENT decoded model."""
         import math as _math
 
+        from sgs_tpu.core import transforms as _tr
         from sgs_tpu.core.projection import project_gaussians
         from sgs_tpu.render.tiled import (
             instance_count,
@@ -166,10 +170,8 @@ def training_lgm(
             row_count,
         )
 
-        gi = model.render_inputs(active_sh_degree)
+        gi = model_now.render_inputs(active_sh_degree)
         cam0 = scene.getTrainCameras()[0].camera
-        from sgs_tpu.core import transforms as _tr
-
         cov3d = _tr.build_covariance(gi.scales, gi.rotations)
         proj = project_gaussians(
             gi.means3d, cov3d, cam0.world_view_transform,
@@ -177,30 +179,35 @@ def training_lgm(
             cam0.image_width, cam0.image_height,
         )
         valid = proj["radius"] > 0
+        b_rows = b_krows = 0
         if raster_tight:
             rows = int(row_count(
                 proj["mean2d"], proj["radius"], valid,
                 cam0.image_width, cam0.image_height,
             ))
-            max_rows = 1 << _math.ceil(_math.log2(max(4096, int(rows * 1.5))))
+            b_rows = 1 << _math.ceil(_math.log2(max(4096, int(rows * 1.5))))
             total = int(instance_count_tight(
                 proj["mean2d"], proj["conic"], gi.opacities[..., 0],
                 proj["depth"], proj["radius"], valid,
-                cam0.image_width, cam0.image_height, max_rows,
+                cam0.image_width, cam0.image_height, b_rows,
             ))
         else:
             total = int(instance_count(
                 proj["mean2d"], proj["radius"], valid,
                 cam0.image_width, cam0.image_height,
             ))
-        max_instances = 1 << _math.ceil(_math.log2(max(4096, int(total * 1.5))))
+        b_inst = 1 << _math.ceil(_math.log2(max(4096, int(total * 1.5))))
         if raster_tight:
             krows = int(kernel_row_count(
                 proj["mean2d"], proj["conic"], gi.opacities[..., 0],
                 proj["depth"], proj["radius"], valid,
-                cam0.image_width, cam0.image_height, max_instances, max_rows,
+                cam0.image_width, cam0.image_height, b_inst, b_rows,
             ))
-            max_krows = -(-int(krows * 1.5) // 1024) * 1024
+            b_krows = -(-int(krows * 1.5) // 1024) * 1024
+        return b_inst, b_rows, b_krows
+
+    if raster_mode == "tiled":
+        max_instances, max_rows, max_krows = compute_buckets(model)
         print(f"instance capacity bucket: {max_instances}"
               + (f" (tight; row bucket {max_rows}, kernel rows {max_krows})"
                  if raster_tight else ""))
@@ -265,6 +272,21 @@ def training_lgm(
                   f"({int(ovf)} splats dropped); buckets -> "
                   f"{max_instances}/{max_rows}/{max_krows}")
             step_fn = build_step()
+        # warmup shrink re-bucket: LGM splats usually SHRINK fast during
+        # early fitting (the init footprint is the fat 3-NN one, see
+        # models/latent.py create_from_pcd), so re-measure the counts a
+        # few times and recompile smaller — every instance-scale raster
+        # op is proportional to the bucket. One recompile buys the rest
+        # of a 90k-iteration run.
+        elif raster_mode == "tiled" and iteration in (200, 1000, 5000):
+            nb = compute_buckets(model.with_params(params))
+            if nb[0] <= max_instances // 2 or (
+                raster_tight and nb[2] and nb[2] <= max_krows // 2
+            ):
+                max_instances, max_rows, max_krows = nb
+                print(f"\n[ITER {iteration}] shrink re-bucket -> "
+                      f"{max_instances}/{max_rows}/{max_krows}")
+                step_fn = build_step()
         if not pipe.no_tqdm and iteration % 100 == 0:
             print(f"[{iteration}] ema loss {ema_loss:.6f}")
 
