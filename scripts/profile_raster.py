@@ -128,11 +128,11 @@ def main():
     )
     packed_t = jax.jit(jnp.transpose)(packed)
 
-    fwd_kern = jax.jit(fr.forward_flat, static_argnums=(5, 6))
+    fwd_kern = jax.jit(fr.forward_flat, static_argnums=(3, 4))
     colors, t_final, last_contrib = bench(
         "Pallas forward kernel (flat)",
         lambda *a: fwd_kern(*a, num_tiles, tiles_x),
-        packed_t, row_tile, row_first, crs, nch,
+        packed_t, crs, nch,
     )
 
     # full forward via public entry
@@ -151,13 +151,15 @@ def main():
         d_img, WIDTH, HEIGHT, tiles_x, tiles_y
     )
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
-    tfl_rows = jnp.stack([t_final, last_contrib], axis=1)[safe_tile]
-    dc_rows = dC[safe_tile]
-    bwd_kern = jax.jit(fr.backward_flat, static_argnums=(6, 7))
+    aux_tiles = jnp.concatenate(
+        [t_final[:, None, :], last_contrib[:, None, :], dC], axis=1
+    )
+    aux_rows = aux_tiles[safe_tile]
+    bwd_kern = jax.jit(fr.backward_flat, static_argnums=(5, 6))
     grads_t = bench(
         "Pallas backward kernel (flat)",
         lambda *a: bwd_kern(*a, tiles_x, num_tiles),
-        packed_t, row_tile, row_last, bg, tfl_rows, dc_rows,
+        packed_t, crs, nch, bg, aux_rows,
     )
     padgrads = (
         jax.jit(jnp.transpose)(grads_t[0:8]),

@@ -47,6 +47,8 @@ rect path keeps the direct segment_sum (reduce_grads).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -319,19 +321,49 @@ def pack_rows(attr_sorted, tile_sorted, num_tiles, max_rows):
 # ---------------------------------------------------------------- forward
 
 
-def _fwd_kernel(
-    # scalar prefetch
-    row_tile_ref, row_first_ref, meta_ref,  # meta: [tiles_x, num_tiles]
+def _row_lookup_fwd(crs_ref, nch_ref, tile_ptr, r, num_tiles, max_rows):
+    """Owner tile + first/last flags of kernel row r, from the T-scale
+    CSR tables and a SEQUENTIALLY-carried tile pointer (SMEM scratch).
+
+    Replaces three (max_rows,) scalar-prefetch row maps: at the 5M
+    garden config those were 1.64 MB of SMEM against the 1 MB scoped
+    limit (the round-3 compile OOM); the CSR tables are T-scale (~65 KB
+    at 1080p) at ANY Gaussian count. The TPU grid runs in order on one
+    core, so advancing the pointer forward per row is exact; the total
+    advance over a sweep is num_tiles scalar iterations."""
+    def cond(t):
+        # clamp: cond is also evaluated at t == num_tiles (no short-
+        # circuit in traced &) — keep the SMEM read in bounds
+        tc = jnp.minimum(t, num_tiles - 1)
+        return (t < num_tiles) & (r >= crs_ref[tc] + nch_ref[tc])
+
+    t = jax.lax.while_loop(cond, lambda t: t + 1, tile_ptr[0])
+    tile_ptr[0] = t
+    rows_used = crs_ref[num_tiles - 1] + nch_ref[num_tiles - 1]
+    live = (t < num_tiles) & (r < rows_used)
+    t_eff = jnp.where(live, t, num_tiles)
+    first = live & (r == crs_ref[jnp.minimum(t, num_tiles - 1)])
+    return t_eff, first
+
+
+def _fwd_kernel_body(
+    num_tiles, tiles_x, max_rows,
+    # scalar prefetch: T-scale CSR row tables
+    crs_ref, nch_ref,
     # inputs (auto-pipelined blocks)
     packed_ref,  # (REC, KROWS*CHUNK) — transposed, compact in HBM
     # outputs
     out_ref,  # (KROWS, SROWS, 256)
-    # scratch: per-pixel running state, persists across grid steps
-    state,  # (SROWS, 256) VMEM
+    # scratch
+    state,  # (SROWS, 256) VMEM: per-pixel running state across steps
+    tile_ptr,  # (1,) SMEM: current tile of the forward sweep
 ):
     k = pl.program_id(0)
-    tiles_x = meta_ref[0]
-    num_tiles = meta_ref[1]
+
+    @pl.when(k == 0)
+    def _():
+        tile_ptr[0] = 0
+
     # pixels on lanes: (1, 256) coordinate rows
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     lx = jax.lax.rem(p_idx, TILE).astype(jnp.float32)
@@ -341,11 +373,13 @@ def _fwd_kernel(
 
     for j in range(KROWS):
         r = k * KROWS + j
-        t = row_tile_ref[r]
+        t, first = _row_lookup_fwd(
+            crs_ref, nch_ref, tile_ptr, r, num_tiles, max_rows
+        )
         px = (jax.lax.rem(t, tiles_x) * TILE).astype(jnp.float32) + lx
         py = ((t // tiles_x) * TILE).astype(jnp.float32) + ly
 
-        @pl.when(row_first_ref[r] == 1)
+        @pl.when(first)
         def _():
             state[0:3, :] = jnp.zeros((3, TILE_PIXELS), jnp.float32)
             state[3:5, :] = jnp.ones((2, TILE_PIXELS), jnp.float32)  # t_run, t_final
@@ -408,7 +442,7 @@ def _fwd_kernel(
 
 
 def forward_flat(
-    packed_t, row_tile, row_first, chunk_row_start, n_chunks,
+    packed_t, chunk_row_start, n_chunks,
     num_tiles, tiles_x, interpret=False,
 ):
     """packed_t: (REC, slots) TRANSPOSED packed records. Pallas forces
@@ -416,14 +450,15 @@ def forward_flat(
     operand is lane-padded 16 -> 128 — an 8x HBM expansion (8 GB and an
     OOM at the 5M-Gaussian config, ~1 GB of dead streaming per pass at
     100k). The transposed operand is compact; kernels transpose each
-    (REC, CHUNK) row slice back in-register.
+    (REC, CHUNK) row slice back in-register. Row -> tile ownership is
+    derived in-kernel from the T-scale CSR tables (see _row_lookup_fwd).
 
     Returns (colors (T,3,256), t_final (T,256), last_contrib (T,256)
     f32 padded-slot positions)."""
     max_rows = packed_t.shape[1] // CHUNK
     grid = max_rows // KROWS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((REC, KROWS * CHUNK), lambda k, *_: (0, k)),
@@ -431,18 +466,21 @@ def forward_flat(
         out_specs=[
             pl.BlockSpec((KROWS, SROWS, TILE_PIXELS), lambda k, *_: (k, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((SROWS, TILE_PIXELS), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((SROWS, TILE_PIXELS), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
     )
     (rows_out,) = pl.pallas_call(
-        _fwd_kernel,
+        partial(_fwd_kernel_body, num_tiles, tiles_x, max_rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((max_rows, SROWS, TILE_PIXELS), jnp.float32)
         ],
         interpret=interpret,
     )(
-        row_tile, row_first,
-        jnp.asarray([tiles_x, num_tiles], jnp.int32), packed_t,
+        chunk_row_start.astype(jnp.int32), n_chunks.astype(jnp.int32),
+        packed_t,
     )
     # each tile's final state lives at its LAST row
     last_row = jnp.clip(chunk_row_start + n_chunks - 1, 0, max_rows - 1)
@@ -457,22 +495,48 @@ def forward_flat(
 # ---------------------------------------------------------------- backward
 
 
-def _bwd_kernel(
-    # scalar prefetch
-    row_tile_ref, row_last_ref, meta_ref, bg_ref,  # meta: [tiles_x, num_tiles]
+def _row_lookup_bwd(crs_ref, nch_ref, tile_ptr, r, num_tiles, max_rows):
+    """Reverse-sweep mirror of _row_lookup_fwd: the backward grid walks
+    rows in DECREASING r, so the carried tile pointer only ever moves
+    down. Owner t satisfies crs[t] <= r (< crs[t] + nch[t] by row
+    contiguity: chunk_row_start is the exact cumsum of n_chunks)."""
+    def cond(t):
+        return (t > 0) & (r < crs_ref[t])
+
+    t = jax.lax.while_loop(cond, lambda t: t - 1, tile_ptr[0])
+    tile_ptr[0] = t
+    rows_used = crs_ref[num_tiles - 1] + nch_ref[num_tiles - 1]
+    live = r < rows_used
+    t_eff = jnp.where(live, t, num_tiles)
+    # r == max_rows-1: under row-bucket overflow (rows_used > max_rows)
+    # the truncated tile's true last row lies beyond the buffer — still
+    # initialize the carry at the first processed row so the sweep stays
+    # finite (the frame is overflow-flagged and regrown anyway)
+    last = live & ((r == crs_ref[t] + nch_ref[t] - 1) | (r == max_rows - 1))
+    return t_eff, last
+
+
+def _bwd_kernel_body(
+    num_tiles, tiles_x, max_rows,
+    # scalar prefetch: T-scale CSR row tables + background color
+    crs_ref, nch_ref, bg_ref,
     # inputs (blocks walked in reverse)
     packed_ref,  # (REC, KROWS*CHUNK) — transposed, compact in HBM
     aux_ref,  # (KROWS, 5, 256): [t_final, last_contrib, dc_r, dc_g, dc_b]
     # outputs: ONE transposed compact grad buffer (see GRECT comment)
     grad_ref,  # (GRECT, KROWS*CHUNK)
-    # scratch: suffix carries, persist across grid steps
-    carry,  # (2, 256): [r_suffix, dC.s_suffix]
+    # scratch
+    carry,  # (2, 256) VMEM: [r_suffix, dC.s_suffix] across grid steps
+    tile_ptr,  # (1,) SMEM: current tile of the reverse sweep
 ):
     k = pl.program_id(0)
     nb = pl.num_programs(0)
     b = nb - 1 - k
-    tiles_x = meta_ref[0]
-    num_tiles = meta_ref[1]
+
+    @pl.when(k == 0)
+    def _():
+        tile_ptr[0] = num_tiles - 1
+
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIXELS), 1)
     lx = jax.lax.rem(p_idx, TILE).astype(jnp.float32)
     ly = (p_idx // TILE).astype(jnp.float32)
@@ -481,14 +545,16 @@ def _bwd_kernel(
     for jj in range(KROWS):
         j = KROWS - 1 - jj
         r = b * KROWS + j
-        t = row_tile_ref[r]
+        t, last = _row_lookup_bwd(
+            crs_ref, nch_ref, tile_ptr, r, num_tiles, max_rows
+        )
         px = (jax.lax.rem(t, tiles_x) * TILE).astype(jnp.float32) + lx
         py = ((t // tiles_x) * TILE).astype(jnp.float32) + ly
         tf = aux_ref[j, 0:1, :]  # (1, 256)
         lastc = aux_ref[j, 1:2, :]
         dc = aux_ref[j, 2:5, :]  # (3, 256)
 
-        @pl.when(row_last_ref[r] == 1)
+        @pl.when(last)
         def _():
             carry[0:1, :] = jnp.ones((1, TILE_PIXELS), jnp.float32)
             # dC . (T_fin * bg): scalar bg per channel
@@ -531,7 +597,8 @@ def _bwd_kernel(
             dx = mean_x - px
             dy = mean_y - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            q = op * jnp.exp(power)
+            exp_p = jnp.exp(power)  # hoisted: also feeds g_op_pix below
+            q = op * exp_p
             alpha = jnp.minimum(ALPHA_MAX, q)
             a = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
 
@@ -577,7 +644,7 @@ def _bwd_kernel(
             not_clamped = q < ALPHA_MAX
             g_q = jnp.where(not_clamped, g_alpha, 0.0)
             g_power = q * g_q
-            g_op_pix = jnp.exp(power) * g_q
+            g_op_pix = exp_p * g_q
 
             base = j * CHUNK
             g_mx = jnp.sum(-(ca * dx + cb * dy) * g_power, axis=1, keepdims=True)
@@ -605,7 +672,7 @@ def _bwd_kernel(
 
 
 def backward_flat(
-    packed_t, row_tile, row_last, bg, aux_rows, tiles_x, num_tiles,
+    packed_t, chunk_row_start, n_chunks, bg, aux_rows, tiles_x, num_tiles,
     interpret=False,
 ):
     """Per-slot gradient records for the padded row layout.
@@ -615,6 +682,8 @@ def backward_flat(
     dc_r, dc_g, dc_b] — ONE fused operand: separate (R,2,256)+(R,3,256)
     operands each sublane-pad to 8 in the kernel layout (2x the stream)
     and cost two XLA row gathers to build instead of one.
+    Row -> tile ownership / tile-last flags come from the T-scale CSR
+    tables in-kernel (_row_lookup_bwd) — see _row_lookup_fwd for why.
     Returns ONE (GRECT, slots) f32 buffer — compact under the Pallas
     {1,0} layout (see the GRECT comment).
     """
@@ -622,7 +691,7 @@ def backward_flat(
     grid = max_rows // KROWS
     nb = grid
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((REC, KROWS * CHUNK), lambda k, *_: (0, nb - 1 - k)),
@@ -635,17 +704,20 @@ def backward_flat(
                 (GRECT, KROWS * CHUNK), lambda k, *_: (0, nb - 1 - k)
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((2, TILE_PIXELS), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_PIXELS), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
     )
     (grads_t,) = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel_body, num_tiles, tiles_x, max_rows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((GRECT, max_rows * CHUNK), jnp.float32),
         ],
         interpret=interpret,
     )(
-        row_tile, row_last, jnp.asarray([tiles_x, num_tiles], jnp.int32),
+        chunk_row_start.astype(jnp.int32), n_chunks.astype(jnp.int32),
         bg.astype(jnp.float32), packed_t, aux_rows,
     )
     return grads_t

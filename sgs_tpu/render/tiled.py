@@ -609,17 +609,19 @@ def _forward_pallas(
     # {1,0} layout (a (slots, 16) operand would be lane-padded 8x)
     packed_t = jnp.transpose(packed)
     colors, t_final, last_contrib = fr.forward_flat(
-        packed_t, row_tile, row_first, crs, nch, num_tiles, tiles_x,
-        interpret=interpret,
+        packed_t, crs, nch, num_tiles, tiles_x, interpret=interpret,
     )
     # channel-first tile layout (T, 3, 256) assembles straight into (3, H, W)
     out = colors + t_final[:, None, :] * bg[None, :, None].astype(f32)
     img = out.reshape(tiles_y, tiles_x, 3, TILE, TILE)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, tiles_y * TILE, tiles_x * TILE)
     img = img[:, :height, :width]
+    # row_tile stays XLA-side only (the backward's aux row gather); the
+    # kernels derive row ownership from the T-scale crs/nch CSR tables
+    # (the (max_rows,) scalar-prefetch maps overflowed SMEM at 5M scale)
     built = {
         "packed_t": packed_t, "windows": windows, "row_tile": row_tile,
-        "row_last": row_last, "tight": tight_extras,
+        "crs": crs, "nch": nch, "tight": tight_extras,
     }
     return img, overflow, t_final, last_contrib, built
 
@@ -740,7 +742,7 @@ def _backward_pallas_host(
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
     packed_t, windows = built["packed_t"], built["windows"]
-    row_tile, row_last = built["row_tile"], built["row_last"]
+    row_tile, crs, nch = built["row_tile"], built["crs"], built["nch"]
 
     dC = _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y)
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
@@ -753,7 +755,7 @@ def _backward_pallas_host(
     aux_rows = aux_tiles[safe_tile]
     interpret = jax.default_backend() == "cpu"
     grads_t = fr.backward_flat(
-        packed_t, row_tile, row_last, bg, aux_rows, tiles_x,
+        packed_t, crs, nch, bg, aux_rows, tiles_x,
         num_tiles, interpret=interpret,
     )
     # split (slots, 8) halves for the fast (<=8-lane-row) reduction
