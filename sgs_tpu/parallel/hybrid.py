@@ -111,6 +111,82 @@ def make_hybrid_render(
     return render_fn
 
 
+def band_bucket_sample(
+    pool, cameras, py_rng, n_bands: int, k: int = 4,
+    headroom: float = 1.4, tight: bool = False,
+):
+    """Principled per-band instance bucket for the hybrid compositor.
+
+    The r2 band bucket was a guess (`max_instances * scale // hy_g`)
+    patched by runtime doubling; front-loaded scenes overflowed it and
+    top-heavy ones wasted memory. This runs the SAME count pre-pass the
+    single-chip path uses (train.loop.instance_bucket) once per band
+    viewport — shift mean2d by the band's y offset, count against a
+    height-bh frame — over a k-camera sample, and buckets the max.
+    Returns inst_bucket, or (inst, row, kernel_row) buckets when tight.
+    """
+    from sgs_tpu.render.tiled import (
+        instance_count,
+        instance_count_tight,
+        kernel_row_count,
+        row_count,
+    )
+    from sgs_tpu.train.loop import _pow2_bucket
+
+    cams = [getattr(c, "camera", c) for c in cameras]
+    if len(cams) > k:
+        cams = py_rng.sample(cams, k)
+    height = cams[0].image_height
+    width = cams[0].image_width
+    bh = band_height(height, n_bands)
+    y_shift = jnp.asarray([0.0, 1.0], jnp.float32)
+
+    projs = []
+    for cam in cams:
+        proj = project_gaussians(
+            pool.xyz, pool.get_covariance(), cam.world_view_transform,
+            cam.full_proj_transform, cam.tanfovx, cam.tanfovy,
+            width, height,
+        )
+        projs.append((proj, (proj["radius"] > 0) & pool.alive))
+
+    def band_views():
+        for proj, valid in projs:
+            for b in range(n_bands):
+                yield proj["mean2d"] - y_shift * float(b * bh), proj, valid
+
+    if not tight:
+        inst = max(
+            int(instance_count(m2d, proj["radius"], valid, width, bh))
+            for m2d, proj, valid in band_views()
+        )
+        return _pow2_bucket(inst, headroom)
+
+    opac = pool.render_inputs(0).opacities[..., 0]
+    rows = max(
+        int(row_count(m2d, proj["radius"], valid, width, bh))
+        for m2d, proj, valid in band_views()
+    )
+    row_bucket = _pow2_bucket(rows, headroom)
+    inst = max(
+        int(instance_count_tight(
+            m2d, proj["conic"], opac, proj["depth"], proj["radius"],
+            valid, width, bh, row_bucket,
+        ))
+        for m2d, proj, valid in band_views()
+    )
+    inst_bucket = _pow2_bucket(inst, headroom)
+    krows = max(
+        int(kernel_row_count(
+            m2d, proj["conic"], opac, proj["depth"], proj["radius"],
+            valid, width, bh, inst_bucket, row_bucket,
+        ))
+        for m2d, proj, valid in band_views()
+    )
+    krow_bucket = -(-max(int(krows * 1.3), 1024) // 1024) * 1024
+    return inst_bucket, row_bucket, krow_bucket
+
+
 def shard_hybrid(params, alive, cam_batch, gt_batch, mesh,
                  data_axis="data", gauss_axis="gauss"):
     """Device-put the training inputs with the hybrid layout."""

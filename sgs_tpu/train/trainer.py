@@ -144,6 +144,8 @@ def training(
     mesh = None
     dp_steps: dict = {}
     band_bucket = 0
+    band_rows = 0
+    band_krows = 0
     if parallel == "dp":
         from sgs_tpu.parallel.data_parallel import replicate_state
         from sgs_tpu.parallel.mesh import make_mesh
@@ -259,18 +261,25 @@ def training(
             gt_batch = jnp.stack([jnp.asarray(c.gt_image) for c in cams_b])
             cam_batch, gt_batch = shard_camera_batch(cam_batch, gt_batch, mesh)
             if band_bucket == 0:
-                # rect binning inside the band compositor: size from the
-                # (tight or rect) frame bucket with extra headroom
-                scale = 3 if raster_tight else 2
-                band_bucket = max(
-                    4096,
-                    1 << (max_instances * scale // hy_g - 1).bit_length(),
+                # principled sizing: the same count pre-pass as the
+                # single-chip path, run per band viewport (replaces the
+                # r2 `max_instances * scale // hy_g` guess)
+                from sgs_tpu.parallel.hybrid import band_bucket_sample
+
+                bb = band_bucket_sample(
+                    state.pool, train_cams, py_rng, hy_g,
+                    tight=raster_tight,
                 )
-                print(f"hybrid band instance bucket: {band_bucket}")
+                band_bucket, band_rows, band_krows = (
+                    bb if raster_tight else (bb, 0, 0)
+                )
+                print(f"hybrid band instance bucket: {band_bucket}"
+                      + (f" (tight; rows {band_rows}, kernel rows "
+                         f"{band_krows})" if raster_tight else ""))
             w0 = cams_b[0].camera.image_width
             h0 = cams_b[0].camera.image_height
-            key = (active_sh_degree, band_bucket, w0, h0,
-                   iteration < opt.iterations)
+            key = (active_sh_degree, band_bucket, band_rows, band_krows,
+                   w0, h0, iteration < opt.iterations)
             if key not in dp_steps:
                 dp_steps[key] = make_hybrid_train_step(
                     mesh, active_sh_degree, w0, h0,
@@ -279,6 +288,8 @@ def training(
                     freeze_xyz=dataset.freeze_xyz,
                     backend=raster_backend,
                     apply_update=iteration < opt.iterations,
+                    max_row_instances_per_band=band_rows,
+                    max_kernel_rows_per_band=band_krows,
                 )
             state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
         else:
@@ -309,6 +320,8 @@ def training(
         ovf = int(metrics.get("overflow", 0))
         if ovf > 0 and parallel == "hybrid":
             band_bucket *= 2
+            band_rows = band_rows * 2 if raster_tight else 0
+            band_krows = band_krows * 2 if raster_tight else 0
             overflow_events += 1
             print(
                 f"\n[ITER {iteration}] WARNING: band instance overflow "
@@ -408,6 +421,23 @@ def training(
                         max_rows = new_rows
                     if new_krows > max_krows or new_krows * 4 <= max_krows:
                         max_krows = new_krows
+                if parallel == "hybrid" and band_bucket > 0:
+                    from sgs_tpu.parallel.hybrid import band_bucket_sample
+
+                    bb = band_bucket_sample(
+                        state.pool, train_cams, py_rng, hy_g,
+                        tight=raster_tight,
+                    )
+                    nb, nbr, nbk = bb if raster_tight else (bb, 0, 0)
+                    # same grow-fast / shrink-on-4x hysteresis as above
+                    if nb > band_bucket or nb * 4 <= band_bucket:
+                        print(f"\n[ITER {iteration}] band bucket "
+                              f"{band_bucket} -> {nb}")
+                        band_bucket = nb
+                    if nbr > band_rows or nbr * 4 <= band_rows:
+                        band_rows = nbr
+                    if nbk > band_krows or nbk * 4 <= band_krows:
+                        band_krows = nbk
 
             if iteration % opt.opacity_reset_interval == 0 or (
                 dataset.white_background and iteration == opt.densify_from_iter

@@ -77,3 +77,36 @@ def test_hybrid_render_and_loss_grads_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(g_h[k]), np.asarray(g_r[k]) / 1.0, rtol=3e-3, atol=5e-6
         )
+
+def test_band_bucket_sample_sizes_tight_band_path():
+    """band_bucket_sample buckets admit an overflow-free tight render:
+    the tight band compositor (exact ellipse culling inside each band)
+    must match the rect band path and the unsharded render."""
+    import random
+
+    from sgs_tpu.parallel.hybrid import band_bucket_sample
+
+    pool, cams, _ = make_setup()
+    mesh = make_mesh((2, 4), ("data", "gauss"))
+    bg = jnp.zeros(3)
+    py_rng = random.Random(0)
+
+    rect_b = band_bucket_sample(pool, cams, py_rng, 4, tight=False)
+    assert rect_b >= 256 and rect_b & (rect_b - 1) == 0  # pow2
+
+    inst_b, row_b, krow_b = band_bucket_sample(pool, cams, py_rng, 4, tight=True)
+    assert inst_b > 0 and row_b > 0 and krow_b % 1024 == 0
+    assert inst_b <= rect_b  # tight culling never needs more than rect
+
+    fn = make_hybrid_render(
+        mesh, 64, 64, 1, max_instances_per_band=inst_b,
+        max_row_instances_per_band=row_b, max_kernel_rows_per_band=krow_b,
+    )
+    cam_batch = stack_cameras(cams)
+    params, alive, cam_b, _ = shard_hybrid(
+        pool.params(), pool.alive, cam_batch, jnp.zeros((2, 3, 64, 64)), mesh
+    )
+    imgs = np.asarray(jax.jit(fn)(params, alive, cam_b, bg))
+    for i, cam in enumerate(cams):
+        ref = render(cam, pool.render_inputs(1), bg, mode="tiled")["render"]
+        np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=3e-5)
