@@ -13,7 +13,10 @@ import numpy as np
 
 N_GAUSSIANS = 100_000
 WIDTH, HEIGHT = 1920, 1080
-OPS = sys.argv[1:] or [
+_args = sys.argv[1:]
+if _args and _args[0].isdigit():  # leading numeric arg = Gaussian count
+    N_GAUSSIANS = int(_args.pop(0))
+OPS = _args or [
     "fusion.20", "sort.9", "while.38", "dynamic-slice_bitcast_fusion.2",
     "multiply_reduce_fusion", "constant_dynamic-slice_fusion.2",
     "pad_maximum_fusion", "fusion.11", "copy.220", "copy.219", "fusion.12",
@@ -45,9 +48,38 @@ def main():
     )
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
-    max_instances = 1_019_904
-    max_rows = 425_984
-    max_krows = 13_312
+    # same converged-capture statistics + bucket pre-pass as trace_raster
+    shrink = math.log((N_GAUSSIANS / 100_000.0) ** (1.0 / 3.0))
+    log_s = rng.uniform(
+        -5.2 - shrink, -3.6 - shrink, (N_GAUSSIANS, 3)
+    ).astype(np.float32)
+    opac_logit = rng.uniform(-1.0, 4.0, (N_GAUSSIANS, 1)).astype(np.float32)
+    pool = pool.replace(
+        scaling=pool.scaling.at[:].set(jnp.asarray(log_s)),
+        opacity=pool.opacity.at[:].set(jnp.asarray(opac_logit)),
+    )
+    from sgs_tpu.core.projection import project_gaussians
+    from sgs_tpu.render.tiled import (
+        instance_count_tight, kernel_row_count, row_count,
+    )
+    proj0 = project_gaussians(
+        pool.xyz, pool.get_covariance(), cam.world_view_transform,
+        cam.full_proj_transform, cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT,
+    )
+    valid0 = (proj0["radius"] > 0) & pool.alive
+    inputs0 = pool.render_inputs(0)
+    rows0 = int(row_count(
+        proj0["mean2d"], proj0["radius"], valid0, WIDTH, HEIGHT))
+    max_rows = -(-int(rows0 * 1.25) // 4096) * 4096
+    total0 = int(instance_count_tight(
+        proj0["mean2d"], proj0["conic"], inputs0.opacities[..., 0],
+        proj0["depth"], proj0["radius"], valid0, WIDTH, HEIGHT, max_rows))
+    max_instances = -(-int(total0 * 1.25) // 4096) * 4096
+    krows0 = int(kernel_row_count(
+        proj0["mean2d"], proj0["conic"], inputs0.opacities[..., 0],
+        proj0["depth"], proj0["radius"], valid0, WIDTH, HEIGHT,
+        max_instances, max_rows))
+    max_krows = -(-int(krows0 * 1.15) // 512) * 512
 
     @jax.jit
     def fwd_bwd(p):

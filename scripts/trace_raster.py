@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-N_GAUSSIANS = 100_000
+N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 WIDTH, HEIGHT = 1920, 1080
 
 
@@ -38,7 +38,11 @@ def main():
         pts, cols, 3, capacity=N_GAUSSIANS,
         knn_dist2=np.full((N_GAUSSIANS,), 1e-4, np.float32),
     )
-    log_s = rng.uniform(-5.2, -3.6, (N_GAUSSIANS, 3)).astype(np.float32)
+    # converged-capture statistics: splat size ~ N^(-1/3) (bench_scale.py)
+    shrink = math.log((N_GAUSSIANS / 100_000.0) ** (1.0 / 3.0))
+    log_s = rng.uniform(
+        -5.2 - shrink, -3.6 - shrink, (N_GAUSSIANS, 3)
+    ).astype(np.float32)
     opac_logit = rng.uniform(-1.0, 4.0, (N_GAUSSIANS, 1)).astype(np.float32)
     pool = pool.replace(
         scaling=pool.scaling.at[:].set(jnp.asarray(log_s)),

@@ -798,8 +798,19 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
 
     seg_a = seg_sum(padgrads[0])
     seg_b = seg_sum(padgrads[1])
-    seg = jnp.concatenate([seg_a[:, :8], seg_b[:, :1]], axis=1)
-    return jnp.zeros((n, 9), jnp.float32).at[order].set(seg)
+    # rank -> original order WITHOUT the (n, 9) scatter: out[order[j]] =
+    # seg[j] is a 36 B-row random scatter (device-traced 524 ms at 5M
+    # Gaussians — the single hottest op of the garden config). Invert
+    # the permutation with one 2-array radix sort (order is a full
+    # permutation, so sorting it ascending carries rank j to position
+    # order[j]) and GATHER: two <=8-lane row gathers ride the fast
+    # gather regime instead.
+    inv = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )[1]  # inv[g] = depth rank of gaussian g
+    return jnp.concatenate(
+        [seg_a[inv][:, :8], seg_b[inv][:, :1]], axis=1
+    )
 
 
 def reduce_grads(padgrads, windows, n):
