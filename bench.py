@@ -57,6 +57,18 @@ def main():
     ply_path = None
     if len(sys.argv) >= 3 and sys.argv[1] == "--ply":
         ply_path = sys.argv[2]
+    elif "--synthetic" not in sys.argv[1:]:
+        # default to the committed flagship trained snapshot when present:
+        # the recorded headline then measures an ACTUALLY-TRAINED model
+        # (converged on the ray-traced honest-GT scene), not hand-tuned
+        # synthetic statistics. `--synthetic` forces the old scene.
+        import os
+        _flagship = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "assets", "flagship", "point_cloud.ply",
+        )
+        if os.path.exists(_flagship):
+            ply_path = _flagship
 
     fovx = math.radians(60)
     fovy = focal2fov(fov2focal(fovx, WIDTH), HEIGHT)
