@@ -176,7 +176,8 @@ def pack_aligned(tile_id, rowid, num_tiles, max_rows, r_sentinel):
     Returns (rowid_padded (slots,) int32 — index into the caller's
     (R+1,)-row attribute table, r_sentinel rows for dead slots via the
     caller's rowid sentinel; inst_padded (slots,) int32 — ORIGINAL
-    instance index per slot (m = dead), feeding
+    instance index per slot (padding slots hold m; CULLED instances keep
+    their own index but land past rows_used on zero-grad slots), feeding
     slot_of_inst_from_padded; row_tile/row_first/row_last (max_rows,);
     chunk_row_start/n_chunks (T,); rows_used () int32)."""
     i32 = jnp.int32
@@ -235,7 +236,11 @@ def slot_of_inst_from_padded(inst_padded, m):
     (under overflow dropped instances shift the tail — the frame is
     flagged wrong and regrown then anyway). Entries for dead instances
     point at arbitrary dead slots (zero grads) and are never addressed
-    by the rank segments."""
+    by the rank segments. Requires DEAD instances to be a SUFFIX of the
+    instance buffer (the expansion's layout): the cut to slots may drop
+    dead entries from inst_padded, and only ids larger than every live
+    id may go missing without shifting live instances' sorted
+    positions (tests/test_pack_aligned.py)."""
     i32 = jnp.int32
     slots = inst_padded.shape[0]
     _, slot_sorted = jax.lax.sort(
