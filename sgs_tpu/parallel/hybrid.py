@@ -22,9 +22,49 @@ from jax.sharding import PartitionSpec as P
 
 from sgs_tpu.core import sh as sh_lib
 from sgs_tpu.core import transforms
-from sgs_tpu.core.projection import project_gaussians
+from sgs_tpu.core.projection import TILE, project_gaussians
 from sgs_tpu.parallel.tile_shard import band_height
 from sgs_tpu.render.tiled import rasterize_tiled
+
+
+def equal_band_offsets(height: int, n_bands: int):
+    """Legacy equal-height band offsets (tile rows) + pad_tiles."""
+    bh_t = band_height(height, n_bands) // TILE
+    return jnp.arange(n_bands, dtype=jnp.int32) * bh_t, bh_t
+
+
+def _band_ownership_cull(rec_y, rec_radius, rec_valid, off_t, nxt_t, tiles_y):
+    """Drop records whose tile-row extent misses this band's OWNED rows
+    [off_t, nxt_t): balanced bands would otherwise rasterize their
+    overhang (rows up to pad_tiles past the owned range) at full cost —
+    the overhang is overwritten at assembly, so only boundary straddlers
+    need to stay."""
+    r = rec_radius
+    gy0 = jnp.clip(((rec_y - r) / TILE).astype(jnp.int32), 0, tiles_y)
+    gy1 = jnp.clip(
+        ((rec_y + r + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
+    )
+    return rec_valid & (gy1 > off_t) & (gy0 < nxt_t)
+
+
+def _assemble_bands(bands5, offsets, height: int, pad_tiles: int):
+    """(B, n_bands, bhp, W, 3) band blocks -> (B, Hp, W, 3) image.
+
+    Bands are written in ASCENDING offset order, so a band's overhang
+    (rows past its owned range, present because every band renders the
+    same static pad_tiles-row viewport) is overwritten by the next
+    band's owned rows; dynamic_update_slice is differentiable and routes
+    zero cotangent to overwritten rows."""
+    b, n_bands, bhp, w, _ = bands5.shape
+    tiles_y = -(-height // TILE)
+    zero = jnp.int32(0)
+    canvas = jnp.zeros((b, (tiles_y + pad_tiles) * TILE, w, 3),
+                       bands5.dtype)
+    for i in range(n_bands):
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, bands5[:, i], (zero, offsets[i] * TILE, zero, zero)
+        )
+    return canvas
 
 
 def make_hybrid_render(
@@ -38,18 +78,32 @@ def make_hybrid_render(
     backend: str = "xla",
     max_row_instances_per_band: int = 0,
     max_kernel_rows_per_band: int = 0,
+    band_pad_tiles: int = 0,
 ):
     """Returns render_fn(params /gauss-sharded/, alive, cam_batch /data/,
-    bg) -> (B, 3, Hp, W) band-assembled images (crop Hp with [:height]).
+    bg, band_offsets=None) -> (B, 3, Hp, W) band-assembled images (crop
+    Hp with [:height]).
 
     max_row_instances_per_band > 0 enables the tight (exact ellipse/
     tile) culling inside the band compositor — the same production path
     the single-chip renderer runs (r2 verdict weak #3: the bands used
-    rect binning only)."""
-    n_gauss = mesh.shape[gauss_axis]
-    bh = band_height(height, n_gauss)
+    rect binning only).
 
-    def per_device(params, alive, camera, bg):
+    band_pad_tiles > 0 enables BALANCED bands: band_offsets (a traced
+    (n_bands,) int32 of first-tile-row offsets, e.g. from
+    tile_shard.balanced_band_offsets) partitions the image rows by
+    cumulative splat load instead of equal height; every band renders a
+    static band_pad_tiles-row viewport at its offset and assembly
+    overwrites the overhang (see _assemble_bands)."""
+    n_gauss = mesh.shape[gauss_axis]
+    if band_pad_tiles > 0:
+        pad_tiles = band_pad_tiles
+    else:
+        pad_tiles = band_height(height, n_gauss) // TILE
+    bh = pad_tiles * TILE
+    tiles_y = -(-height // TILE)
+
+    def per_device(params, alive, camera, bg, band_offs, band_next):
         # camera leaves arrive with a leading local-batch dim of 1
         camera = jax.tree.map(lambda x: x[0], camera)
         xyz = params["xyz"]
@@ -82,12 +136,17 @@ def make_hybrid_render(
         all_rec = jax.lax.all_gather(rec, gauss_axis, tiled=True)
 
         band = jax.lax.axis_index(gauss_axis)
-        y_off = (band * bh).astype(jnp.float32)
+        off_t = band_offs[band]
+        y_off = (off_t * TILE).astype(jnp.float32)
         band_mean2d = all_rec[:, 0:2] - jnp.asarray([0.0, 1.0]) * y_off
+        band_valid = _band_ownership_cull(
+            all_rec[:, 1], all_rec[:, 10], all_rec[:, 11] > 0.5,
+            off_t, band_next[band], tiles_y,
+        )
         img_band, _ = rasterize_tiled(
             band_mean2d, all_rec[:, 2], all_rec[:, 3:6], all_rec[:, 6:9],
             all_rec[:, 9], all_rec[:, 10].astype(jnp.int32),
-            all_rec[:, 11] > 0.5, bg, width, bh,
+            band_valid, bg, width, bh,
             max_instances=max_instances_per_band,
             backend=backend,
             max_row_instances=max_row_instances_per_band,
@@ -99,14 +158,25 @@ def make_hybrid_render(
     render_sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(gauss_axis), P(gauss_axis), P(data_axis), P()),
+        in_specs=(P(gauss_axis), P(gauss_axis), P(data_axis), P(), P(), P()),
         out_specs=P(data_axis, gauss_axis),
         check_vma=False,
     )
 
-    def render_fn(params, alive, cam_batch, bg):
-        img = render_sharded(params, alive, cam_batch, bg)  # (B, Hp, W, 3)
-        return img.transpose(0, 3, 1, 2)[:, :, :height, :]
+    def render_fn(params, alive, cam_batch, bg, band_offsets=None):
+        if band_offsets is None:
+            band_offsets, _ = equal_band_offsets(height, n_gauss)
+        band_offsets = band_offsets.astype(jnp.int32)
+        band_next = jnp.concatenate(
+            [band_offsets[1:], jnp.full((1,), tiles_y, jnp.int32)]
+        )
+        img = render_sharded(
+            params, alive, cam_batch, bg, band_offsets, band_next
+        )  # (B, n_bands*bhp, W, 3)
+        b = img.shape[0]
+        bands5 = img.reshape(b, n_gauss, bh, width, 3)
+        out = _assemble_bands(bands5, band_offsets, height, pad_tiles)
+        return out.transpose(0, 3, 1, 2)[:, :, :height, :]
 
     return render_fn
 
@@ -114,6 +184,7 @@ def make_hybrid_render(
 def band_bucket_sample(
     pool, cameras, py_rng, n_bands: int, k: int = 4,
     headroom: float = 1.4, tight: bool = False,
+    offsets=None, pad_tiles: int = 0,
 ):
     """Principled per-band instance bucket for the hybrid compositor.
 
@@ -138,7 +209,16 @@ def band_bucket_sample(
         cams = py_rng.sample(cams, k)
     height = cams[0].image_height
     width = cams[0].image_width
-    bh = band_height(height, n_bands)
+    tiles_y = -(-height // TILE)
+    if offsets is not None:
+        assert pad_tiles > 0, "balanced sizing needs pad_tiles"
+        import numpy as _np
+        offs = _np.asarray(offsets, _np.int64)
+        nxts = _np.concatenate([offs[1:], [tiles_y]])
+        bh = pad_tiles * TILE
+    else:
+        bh = band_height(height, n_bands)
+        offs = nxts = None
     y_shift = jnp.asarray([0.0, 1.0], jnp.float32)
 
     projs = []
@@ -153,7 +233,17 @@ def band_bucket_sample(
     def band_views():
         for proj, valid in projs:
             for b in range(n_bands):
-                yield proj["mean2d"] - y_shift * float(b * bh), proj, valid
+                if offs is None:
+                    yield proj["mean2d"] - y_shift * float(b * bh), proj, valid
+                else:
+                    v = _band_ownership_cull(
+                        proj["mean2d"][:, 1], proj["radius"], valid,
+                        int(offs[b]), int(nxts[b]), tiles_y,
+                    )
+                    yield (
+                        proj["mean2d"] - y_shift * float(offs[b] * TILE),
+                        proj, v,
+                    )
 
     if not tight:
         inst = max(
@@ -213,6 +303,7 @@ def make_hybrid_train_step(
     gauss_axis: str = "gauss",
     max_row_instances_per_band: int = 0,
     max_kernel_rows_per_band: int = 0,
+    band_pad_tiles: int = 0,
 ):
     """Full training step on the hybrid 2D mesh (VERDICT r1 weak #4's
     "hybrid-mode flag"): Gaussian params/Adam/stats live gauss-sharded,
@@ -223,7 +314,11 @@ def make_hybrid_train_step(
     partitions them along the same axes.
 
     Call: step(state, cam_batch /B=data axis/, gt_batch (B,3,H,W), bg,
-    lrs) -> (state, metrics).
+    lrs, band_offsets=None) -> (state, metrics).
+
+    band_pad_tiles > 0 enables BALANCED bands (see make_hybrid_render):
+    pass band_offsets from tile_shard.balanced_band_offsets; it is a
+    traced operand, so periodic rebalancing never recompiles.
     """
     from sgs_tpu.models.gaussians import DensifyStats
     from sgs_tpu.ops.ssim import l1_loss, ssim
@@ -231,10 +326,15 @@ def make_hybrid_train_step(
     from sgs_tpu.train.optim import adam_update
 
     n_gauss = mesh.shape[gauss_axis]
-    bh = band_height(height, n_gauss)
+    if band_pad_tiles > 0:
+        pad_tiles = band_pad_tiles
+    else:
+        pad_tiles = band_height(height, n_gauss) // TILE
+    bh = pad_tiles * TILE
+    tiles_y = -(-height // TILE)
     half = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
 
-    def per_device(params, alive, camera, bg, tap):
+    def per_device(params, alive, camera, bg, tap, band_offs, band_next):
         camera = jax.tree.map(lambda x: x[0], camera)
         xyz = params["xyz"]
         scales = jnp.exp(params["scaling"])
@@ -268,12 +368,17 @@ def make_hybrid_train_step(
         all_rec = jax.lax.all_gather(rec, gauss_axis, tiled=True)
 
         band = jax.lax.axis_index(gauss_axis)
-        y_off = (band * bh).astype(jnp.float32)
+        off_t = band_offs[band]
+        y_off = (off_t * TILE).astype(jnp.float32)
         band_mean2d = all_rec[:, 0:2] - jnp.asarray([0.0, 1.0]) * y_off
+        band_valid = _band_ownership_cull(
+            all_rec[:, 1], all_rec[:, 10], all_rec[:, 11] > 0.5,
+            off_t, band_next[band], tiles_y,
+        )
         img_band, ovf = rasterize_tiled(
             band_mean2d, all_rec[:, 2], all_rec[:, 3:6], all_rec[:, 6:9],
             all_rec[:, 9], all_rec[:, 10].astype(jnp.int32),
-            all_rec[:, 11] > 0.5, bg, width, bh,
+            band_valid, bg, width, bh,
             max_instances=max_instances_per_band, backend=backend,
             max_row_instances=max_row_instances_per_band,
             max_kernel_rows=max_kernel_rows_per_band,
@@ -291,7 +396,7 @@ def make_hybrid_train_step(
         mesh=mesh,
         in_specs=(
             P(gauss_axis), P(gauss_axis), P(data_axis), P(),
-            P(data_axis, gauss_axis),
+            P(data_axis, gauss_axis), P(), P(),
         ),
         out_specs=(
             P(data_axis, gauss_axis),
@@ -303,17 +408,27 @@ def make_hybrid_train_step(
     )
 
     @jax.jit
-    def step(state: TrainState, cam_batch, gt_batch, bg, lrs):
+    def step(state: TrainState, cam_batch, gt_batch, bg, lrs,
+             band_offsets=None):
         pool = state.pool
         params = pool.params()
         b = gt_batch.shape[0]
         tap0 = jnp.zeros((b, pool.capacity, 2), jnp.float32)
+        if band_offsets is None:
+            band_offsets, _ = equal_band_offsets(height, n_gauss)
+        band_offsets = band_offsets.astype(jnp.int32)
+        band_next = jnp.concatenate(
+            [band_offsets[1:], jnp.full((1,), tiles_y, jnp.int32)]
+        )
 
         def loss_fn(p, tap):
             img_bands, vis, radii, ovf = render_sharded(
-                p, pool.alive, cam_batch, bg, tap
+                p, pool.alive, cam_batch, bg, tap, band_offsets, band_next
             )
-            imgs = img_bands.transpose(0, 3, 1, 2)[:, :, :height, :]
+            bands5 = img_bands.reshape(b, n_gauss, bh, width, 3)
+            imgs = _assemble_bands(
+                bands5, band_offsets, height, pad_tiles
+            ).transpose(0, 3, 1, 2)[:, :, :height, :]
             gts = gt_batch
             ll1 = jnp.mean(
                 jax.vmap(l1_loss)(imgs, gts)

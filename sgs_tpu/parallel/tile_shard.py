@@ -35,6 +35,60 @@ def band_height(height: int, n_dev: int) -> int:
     return bands * TILE
 
 
+def row_load_histogram(mean2d, radius, valid, width: int, height: int):
+    """(tiles_y,) rect-binned instance count per image TILE ROW — the
+    load signal for balanced band partitioning. One N-scale run fill
+    (+w at each Gaussian's first tile row, -w past its last, cumsum):
+    no instance expansion needed."""
+    from sgs_tpu.render.tiled import _tile_rects
+
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    min_x, max_x, min_y, max_y = _tile_rects(mean2d, radius, tiles_x, tiles_y)
+    live = valid & (radius > 0) & (max_x > min_x) & (max_y > min_y)
+    w = jnp.where(live, max_x - min_x, 0).astype(jnp.int32)
+    diff = (
+        jnp.zeros((tiles_y + 1,), jnp.int32)
+        .at[jnp.where(live, min_y, tiles_y)].add(w, mode="drop")
+        .at[jnp.where(live, max_y, tiles_y)].add(-w, mode="drop")
+    )
+    return jnp.cumsum(diff)[:tiles_y]
+
+
+def balanced_band_offsets(hist, n_bands: int):
+    """Host-side band boundaries from a tile-row load histogram.
+
+    Splits the tile rows into n_bands CONTIGUOUS bands at cumulative-load
+    quantiles (each band >= 1 tile row), so front-loaded scenes don't
+    idle the chips that own empty bands (equal-HEIGHT bands give the
+    top band all the work on a ground-heavy capture). Static per few
+    hundred iterations: recompute at densify/re-bucket events; the step
+    takes the offsets as a TRACED operand so rebalancing never
+    recompiles (only a pad_tiles growth does).
+
+    Returns (offsets (n_bands,) np.int32 first tile row per band,
+             pad_tiles int — max band tile rows, every band's static
+             viewport height)."""
+    import numpy as np
+
+    hist = np.maximum(np.asarray(hist, np.float64), 0.0)
+    tiles_y = hist.shape[0]
+    if n_bands > tiles_y:
+        raise ValueError(f"{n_bands} bands > {tiles_y} tile rows")
+    c = np.cumsum(hist)
+    total = max(c[-1], 1.0)
+    offs = [0]
+    for b in range(1, n_bands):
+        t = total * b / n_bands
+        # first row index whose cumulative load reaches the quantile
+        idx = int(np.searchsorted(c, t, side="left")) + 1
+        idx = max(offs[-1] + 1, min(idx, tiles_y - (n_bands - b)))
+        offs.append(idx)
+    offsets = np.asarray(offs, np.int32)
+    rows = np.diff(np.concatenate([offsets, [tiles_y]]))
+    return offsets, int(rows.max())
+
+
 def make_sharded_render(
     mesh: Mesh,
     width: int,

@@ -78,6 +78,140 @@ def test_hybrid_render_and_loss_grads_match_unsharded():
             np.asarray(g_h[k]), np.asarray(g_r[k]) / 1.0, rtol=3e-3, atol=5e-6
         )
 
+def make_front_loaded_setup(width=128, height=256, n=1500, capacity=2048):
+    """A deliberately FRONT-LOADED scene: splat density decreases
+    linearly from the top of the frame (target pixel rows drawn with
+    u = 1 - sqrt(v), inverted through the projection), so equal-height
+    bands overload the top chip while balanced boundaries can equalize."""
+    rng = np.random.default_rng(3)
+    fovx = math.radians(60)
+    fovy = focal2fov(fov2focal(fovx, width), height)
+    tanfovy = math.tan(fovy / 2)
+    cam_z = 3.0
+    v = rng.uniform(0, 1, n)
+    frac = 1.0 - np.sqrt(v)  # density 2(1-u): linearly decreasing
+    depth = rng.uniform(2.7, 3.3, n)
+    y_world = (frac * 2.0 - 1.0) * depth * tanfovy
+    pts = np.stack(
+        [rng.uniform(-1, 1, n) * depth / 3.0, y_world, depth - cam_z], -1
+    ).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    pool = GaussianPool.from_pcd(pts, cols, 1, capacity=capacity)
+    cams = [
+        Camera.from_Rt(
+            np.eye(3), np.array([0.0, 0.0, cam_z + 0.1 * i]),
+            fovx, fovy, width, height,
+        )
+        for i in range(2)
+    ]
+    return pool, cams
+
+
+def test_balanced_bands_load_and_parity():
+    """VERDICT r3 #7: cumulative-load band boundaries keep max/mean band
+    load <= 1.2x on a front-loaded scene where equal-height bands idle
+    3 of 4 chips — and the balanced hybrid render stays exact."""
+    from sgs_tpu.core.projection import TILE, project_gaussians
+    from sgs_tpu.parallel.tile_shard import (
+        balanced_band_offsets, row_load_histogram,
+    )
+
+    width, height, n_bands = 128, 256, 4
+    pool, cams = make_front_loaded_setup(width, height)
+    cam = cams[0]
+    proj = project_gaussians(
+        pool.xyz, pool.get_covariance(), cam.world_view_transform,
+        cam.full_proj_transform, cam.tanfovx, cam.tanfovy, width, height,
+    )
+    valid = (proj["radius"] > 0) & pool.alive
+    hist = np.asarray(
+        row_load_histogram(proj["mean2d"], proj["radius"], valid,
+                           width, height)
+    )
+    tiles_y = height // TILE
+    assert hist.shape == (tiles_y,) and hist.sum() > 0
+
+    offsets, pad_tiles = balanced_band_offsets(hist, n_bands)
+    assert offsets[0] == 0 and np.all(np.diff(offsets) >= 1)
+    nxt = np.concatenate([offsets[1:], [tiles_y]])
+    loads_bal = np.array(
+        [hist[offsets[b]:nxt[b]].sum() for b in range(n_bands)], np.float64
+    )
+    eq = tiles_y // n_bands
+    loads_eq = np.array(
+        [hist[b * eq:(b + 1) * eq].sum() for b in range(n_bands)], np.float64
+    )
+    assert loads_eq.max() / loads_eq.mean() > 1.5  # scene IS front-loaded
+    assert loads_bal.max() / loads_bal.mean() <= 1.2
+
+    # parity: the balanced hybrid render (traced offsets, padded band
+    # viewports, overwrite assembly) matches the single-chip render
+    mesh = make_mesh((2, 4), ("data", "gauss"))
+    bg = jnp.zeros(3)
+    fn = make_hybrid_render(
+        mesh, width, height, 1, max_instances_per_band=16384,
+        band_pad_tiles=pad_tiles,
+    )
+    cam_batch = stack_cameras(cams)
+    params, alive, cam_b, _ = shard_hybrid(
+        pool.params(), pool.alive, cam_batch,
+        jnp.zeros((2, 3, height, width)), mesh,
+    )
+    imgs = np.asarray(
+        jax.jit(fn)(params, alive, cam_b, bg, jnp.asarray(offsets))
+    )
+    for i, c in enumerate(cams):
+        ref = render(c, pool.render_inputs(1), bg, mode="tiled")["render"]
+        np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=3e-5)
+
+
+def test_balanced_bands_train_step_matches_equal_bands():
+    """The balanced-band hybrid TRAIN step (ownership cull + overwrite
+    assembly + traced offsets) computes the same loss/grads as the
+    legacy equal-band step."""
+    from sgs_tpu.parallel.hybrid import make_hybrid_train_step
+    from sgs_tpu.models.gaussians import DensifyStats
+    from sgs_tpu.train.loop import TrainState
+    from sgs_tpu.train.optim import AdamState
+
+    width = height = 64
+    pool, cams, gts = make_setup(width, height)
+    mesh = make_mesh((2, 4), ("data", "gauss"))
+    bg = jnp.zeros(3)
+    cam_batch = stack_cameras(cams)
+    params, alive, cam_b, gt_b = shard_hybrid(
+        pool.params(), pool.alive, cam_batch, jnp.asarray(gts), mesh
+    )
+    state = TrainState(
+        pool=pool, adam=AdamState.init(pool.params()),
+        stats=DensifyStats.zeros(pool.capacity),
+    )
+    lrs = {k: 1e-3 for k in pool.params()}
+
+    step_eq = make_hybrid_train_step(
+        mesh, 1, width, height, max_instances_per_band=8192,
+        apply_update=True,
+    )
+    # pad_tiles = 2 > the equal band height (1 tile row): exercises the
+    # overhang-overwrite path with offsets 0,1,2,3
+    step_bal = make_hybrid_train_step(
+        mesh, 1, width, height, max_instances_per_band=8192,
+        apply_update=True, band_pad_tiles=2,
+    )
+    offs = jnp.arange(4, dtype=jnp.int32)
+
+    s1, m1 = step_eq(state, cam_b, gt_b, bg, lrs)
+    s2, m2 = step_bal(state, cam_b, gt_b, bg, lrs, offs)
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+    for k in s1.pool.params():
+        np.testing.assert_allclose(
+            np.asarray(s1.pool.params()[k]), np.asarray(s2.pool.params()[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+
+
 def test_band_bucket_sample_sizes_tight_band_path():
     """band_bucket_sample buckets admit an overflow-free tight render:
     the tight band compositor (exact ellipse culling inside each band)
