@@ -181,6 +181,38 @@ def make_hybrid_render(
     return render_fn
 
 
+def balance_from_sample(pool, cameras, py_rng, n_bands: int, k: int = 4):
+    """(offsets, pad_tiles) for balanced bands from a k-camera sample:
+    sums the per-tile-row load histograms and splits at cumulative-load
+    quantiles (tile_shard.balanced_band_offsets). Cheap (one N-scale run
+    fill per sampled camera) — recompute at densify events; the offsets
+    are a traced step operand so only pad_tiles growth recompiles."""
+    import numpy as np
+
+    from sgs_tpu.parallel.tile_shard import (
+        balanced_band_offsets, row_load_histogram,
+    )
+
+    cams = [getattr(c, "camera", c) for c in cameras]
+    if len(cams) > k:
+        cams = py_rng.sample(cams, k)
+    height = cams[0].image_height
+    width = cams[0].image_width
+    hist = None
+    for cam in cams:
+        proj = project_gaussians(
+            pool.xyz, pool.get_covariance(), cam.world_view_transform,
+            cam.full_proj_transform, cam.tanfovx, cam.tanfovy,
+            width, height,
+        )
+        valid = (proj["radius"] > 0) & pool.alive
+        h = np.asarray(row_load_histogram(
+            proj["mean2d"], proj["radius"], valid, width, height
+        ))
+        hist = h if hist is None else hist + h
+    return balanced_band_offsets(hist, n_bands)
+
+
 def band_bucket_sample(
     pool, cameras, py_rng, n_bands: int, k: int = 4,
     headroom: float = 1.4, tight: bool = False,
@@ -202,7 +234,7 @@ def band_bucket_sample(
         kernel_row_count,
         row_count,
     )
-    from sgs_tpu.train.loop import _pow2_bucket
+    from sgs_tpu.train.loop import _quarter_pow2_bucket
 
     cams = [getattr(c, "camera", c) for c in cameras]
     if len(cams) > k:
@@ -250,14 +282,14 @@ def band_bucket_sample(
             int(instance_count(m2d, proj["radius"], valid, width, bh))
             for m2d, proj, valid in band_views()
         )
-        return _pow2_bucket(inst, headroom)
+        return _quarter_pow2_bucket(inst, headroom)
 
     opac = pool.render_inputs(0).opacities[..., 0]
     rows = max(
         int(row_count(m2d, proj["radius"], valid, width, bh))
         for m2d, proj, valid in band_views()
     )
-    row_bucket = _pow2_bucket(rows, headroom)
+    row_bucket = _quarter_pow2_bucket(rows, headroom)
     inst = max(
         int(instance_count_tight(
             m2d, proj["conic"], opac, proj["depth"], proj["radius"],
@@ -265,7 +297,7 @@ def band_bucket_sample(
         ))
         for m2d, proj, valid in band_views()
     )
-    inst_bucket = _pow2_bucket(inst, headroom)
+    inst_bucket = _quarter_pow2_bucket(inst, headroom)
     krows = max(
         int(kernel_row_count(
             m2d, proj["conic"], opac, proj["depth"], proj["radius"],
@@ -429,6 +461,16 @@ def make_hybrid_train_step(
             imgs = _assemble_bands(
                 bands5, band_offsets, height, pad_tiles
             ).transpose(0, 3, 1, 2)[:, :, :height, :]
+            # replicate the assembled image over the GAUSS axis before
+            # the loss: band-sharded SSIM convolutions otherwise lower
+            # to ~200 GSPMD halo collective-permutes per step (HLO
+            # census, PERF_NOTES) — one image all-gather + redundant
+            # per-device SSIM costs the same wall time as one device's
+            # SSIM and zero halo latency. The constraint's transpose
+            # re-shards the cotangent, so the backward stays banded.
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, NamedSharding(mesh, P(data_axis)),
+            )
             gts = gt_batch
             ll1 = jnp.mean(
                 jax.vmap(l1_loss)(imgs, gts)

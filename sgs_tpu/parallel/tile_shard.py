@@ -74,7 +74,10 @@ def balanced_band_offsets(hist, n_bands: int):
     hist = np.maximum(np.asarray(hist, np.float64), 0.0)
     tiles_y = hist.shape[0]
     if n_bands > tiles_y:
-        raise ValueError(f"{n_bands} bands > {tiles_y} tile rows")
+        # fewer tile rows than bands (tiny eval images): one row per
+        # band, trailing bands own nothing — matches the legacy
+        # equal-height layout, which the assembly crop already handles
+        return np.arange(n_bands, dtype=np.int32), 1
     c = np.cumsum(hist)
     total = max(c[-1], 1.0)
     offs = [0]

@@ -138,6 +138,22 @@ def _pow2_bucket(total: int, headroom: float) -> int:
     return 1 << math.ceil(math.log2(want))
 
 
+def _quarter_pow2_bucket(total: int, headroom: float) -> int:
+    """Smallest 2^k * {1, 1.25, 1.5, 1.75} >= total*headroom: ~9% mean
+    quantization waste vs ~33% for pow2, at ~4x the recompile cadence.
+    Used for the per-BAND buckets (4-8x smaller than full-frame ones, so
+    pow2 rounding costs a band-proportionally larger slice of step time
+    and band recompiles are correspondingly cheaper)."""
+    import math
+
+    want = max(4096, int(total * headroom))
+    base = 1 << int(math.log2(want))
+    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+        if base * frac >= want:
+            return int(base * frac)
+    return base * 2
+
+
 def instance_bucket(
     pool: GaussianPool, camera: Camera, headroom: float = 1.4,
     tight: bool = False,

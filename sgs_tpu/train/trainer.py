@@ -146,6 +146,9 @@ def training(
     band_bucket = 0
     band_rows = 0
     band_krows = 0
+    hy_balance = bool(getattr(pipe, "hy_balance", False))
+    band_offsets = None  # balanced band boundaries (traced operand)
+    band_pad = 0  # static per-band viewport tiles (0 = equal bands)
     if parallel == "dp":
         from sgs_tpu.parallel.data_parallel import replicate_state
         from sgs_tpu.parallel.mesh import make_mesh
@@ -266,9 +269,18 @@ def training(
                 # r2 `max_instances * scale // hy_g` guess)
                 from sgs_tpu.parallel.hybrid import band_bucket_sample
 
+                if hy_balance:
+                    from sgs_tpu.parallel.hybrid import balance_from_sample
+
+                    band_offsets, band_pad = balance_from_sample(
+                        state.pool, train_cams, py_rng, hy_g
+                    )
+                    print(f"hybrid balanced bands: offsets "
+                          f"{band_offsets.tolist()}, pad {band_pad} tiles")
                 bb = band_bucket_sample(
                     state.pool, train_cams, py_rng, hy_g,
                     tight=raster_tight,
+                    offsets=band_offsets, pad_tiles=band_pad,
                 )
                 band_bucket, band_rows, band_krows = (
                     bb if raster_tight else (bb, 0, 0)
@@ -279,7 +291,7 @@ def training(
             w0 = cams_b[0].camera.image_width
             h0 = cams_b[0].camera.image_height
             key = (active_sh_degree, band_bucket, band_rows, band_krows,
-                   w0, h0, iteration < opt.iterations)
+                   w0, h0, band_pad, iteration < opt.iterations)
             if key not in dp_steps:
                 dp_steps[key] = make_hybrid_train_step(
                     mesh, active_sh_degree, w0, h0,
@@ -290,8 +302,12 @@ def training(
                     apply_update=iteration < opt.iterations,
                     max_row_instances_per_band=band_rows,
                     max_kernel_rows_per_band=band_krows,
+                    band_pad_tiles=band_pad,
                 )
-            state, metrics = dp_steps[key](state, cam_batch, gt_batch, bg, lrs)
+            state, metrics = dp_steps[key](
+                state, cam_batch, gt_batch, bg, lrs,
+                None if band_offsets is None else jnp.asarray(band_offsets),
+            )
         else:
             cam = pop_camera()
             state, metrics = train_step(
@@ -424,9 +440,23 @@ def training(
                 if parallel == "hybrid" and band_bucket > 0:
                     from sgs_tpu.parallel.hybrid import band_bucket_sample
 
+                    if hy_balance:
+                        from sgs_tpu.parallel.hybrid import (
+                            balance_from_sample,
+                        )
+
+                        new_off, new_pad = balance_from_sample(
+                            state.pool, train_cams, py_rng, hy_g
+                        )
+                        # offsets retarget freely (traced operand); the
+                        # static pad only grows or shrinks on 2x slack
+                        band_offsets = new_off
+                        if new_pad > band_pad or new_pad * 2 <= band_pad:
+                            band_pad = new_pad
                     bb = band_bucket_sample(
                         state.pool, train_cams, py_rng, hy_g,
                         tight=raster_tight,
+                        offsets=band_offsets, pad_tiles=band_pad,
                     )
                     nb, nbr, nbk = bb if raster_tight else (bb, 0, 0)
                     # same grow-fast / shrink-on-4x hysteresis as above

@@ -62,6 +62,10 @@ class PipelineParams:
     # hybrid mesh shape "DxG" (data x gauss), e.g. "2x4"; empty = one
     # data row over all local devices (make_hybrid_mesh default)
     parallel_mesh: str = ""
+    # hybrid mode: split band boundaries by cumulative splat load instead
+    # of equal height (parallel/tile_shard.balanced_band_offsets) —
+    # front-loaded scenes stop idling the chips that own empty bands
+    hy_balance: bool = False
     # tight (exact ellipse/tile) binning for the Pallas backend: culls
     # (Gaussian, tile) pairs whose alpha is < 1/255 everywhere in the
     # tile — identical images up to f32 summation order, ~35% fewer

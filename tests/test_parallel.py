@@ -270,3 +270,48 @@ def test_hybrid_training_e2e(tmp_path):
     )
     first, last = tsv[1].split("\t"), tsv[-1].split("\t")
     assert float(last[2]) > float(first[2]), tsv
+
+
+@pytest.mark.slow
+def test_hybrid_training_e2e_balanced_bands(tmp_path):
+    """--hy_balance end-to-end: balanced band boundaries (traced offsets,
+    padded viewports) through the full trainer incl. densify re-balance;
+    training must still converge."""
+    from sgs_tpu.data.scene import Scene
+    from sgs_tpu.train.trainer import training
+    from sgs_tpu.utils.config import (
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+    )
+    from sgs_tpu.utils.toy_scene import make_blender_dataset
+
+    src = str(tmp_path / "scene")
+    make_blender_dataset(
+        src, n_train=16, n_test=2, width=48, height=48, n_gaussians=120, seed=3
+    )
+    dataset = ModelParams(
+        source_path=src, model_path=str(tmp_path / "model"),
+        white_background=True, eval=True,
+    )
+    opt = OptimizationParams(
+        iterations=40, densify_from_iter=9, densification_interval=10,
+        densify_until_iter=35, opacity_reset_interval=30,
+        position_lr_max_steps=40,
+    )
+    pipe = PipelineParams(
+        no_tqdm=True, parallel="hybrid", parallel_mesh="2x4",
+        tight_culling=True, hy_balance=True,
+    )
+    scene = Scene(dataset, pool_capacity=1024, downsample_init=100.0)
+    state = training(
+        dataset, opt, pipe,
+        testing_iterations=[1, 40], saving_iterations=[],
+        checkpoint_iterations=[], scene=scene,
+    )
+    assert bool(jnp.all(jnp.isfinite(state.pool.xyz)))
+    tsv = (
+        open(str(tmp_path / "model" / "losses.tsv")).read().strip().splitlines()
+    )
+    first, last = tsv[1].split("\t"), tsv[-1].split("\t")
+    assert float(last[2]) > float(first[2]), tsv
