@@ -86,6 +86,18 @@ GREC = 8  # gradient record lanes PER REDUCTION BUFFER: the reduction
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Backward moment reductions on the MXU: ALL six lane-moments of
+# g_power (vs 1, qx, qy, qx^2, qx*qy, qy^2 in IN-TILE pixel coords) come
+# from ONE (CHUNK,256)@(256,6) matmul against a COMPILE-TIME-CONSTANT
+# basis, then (CHUNK,1) column math shifts them to instance-centered
+# moments. The round-2 attempt that "lost 13.6 -> 18.2 ms" built its
+# basis from dx/dy PER ROW (5 wide ops + an MXU-operand relayout per
+# row); the in-tile basis hoists all of that out of the loop. Trade-off:
+# instance-centered moments via the binomial shift cancel catastrophic-
+# ally when |mean - tile| >> in-tile spread, so this stays opt-in until
+# parity + device timing say otherwise.
+MOMENT_MXU = False
+
 
 def num_rows(max_instances: int, num_tiles: int) -> int:
     """Worst-case chunk rows: every tile's range padded to a chunk
@@ -412,7 +424,8 @@ def _fwd_kernel_body(
 
             dx = mean_x - px  # (CHUNK, 256)
             dy = mean_y - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            # factored quadratic: two column pre-scales save two wide mults
+            power = (-0.5 * ca * dx - cb * dy) * dx + (-0.5 * cc) * dy * dy
             alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
             a = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
             u = 1.0 - a
@@ -425,12 +438,12 @@ def _fwd_kernel_body(
                     axis=0,
                 )
                 kk *= 2
-            cp_prev = jnp.concatenate(
-                [jnp.ones((1, TILE_PIXELS), jnp.float32), cp[:-1, :]], axis=0
-            )
             s = t_row * cp  # FULL running product — the latch carrier
+            # exclusive product t_row*cp_prev == shifted s (one concat,
+            # no second wide multiply)
+            s_prev = jnp.concatenate([t_row, s[:-1, :]], axis=0)
             include = (s >= TRANSMITTANCE_EPS) & (a > 0.0)
-            w = jnp.where(include, t_row * cp_prev * a, 0.0)
+            w = jnp.where(include, s_prev * a, 0.0)
             state[0:3, :] += jax.lax.dot_general(
                 rgb_t, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
@@ -546,6 +559,13 @@ def _bwd_kernel_body(
     lx = jax.lax.rem(p_idx, TILE).astype(jnp.float32)
     ly = (p_idx // TILE).astype(jnp.float32)
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0).astype(jnp.float32)
+    if MOMENT_MXU:
+        # constant (6, 256) in-tile moment basis, hoisted out of the
+        # row loop (the whole point vs the failed dx/dy-basis variant)
+        basis = jnp.concatenate(
+            [jnp.ones_like(lx), lx, ly, lx * lx, lx * ly, ly * ly],
+            axis=0,
+        )
 
     for jj in range(KROWS):
         j = KROWS - 1 - jj
@@ -601,16 +621,17 @@ def _bwd_kernel_body(
 
             dx = mean_x - px
             dy = mean_y - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            exp_p = jnp.exp(power)  # hoisted: also feeds g_op_pix below
-            q = op * exp_p
+            # factored quadratic — must match the forward's association
+            # exactly so the include/clamp branches agree bit-for-bit
+            power = (-0.5 * ca * dx - cb * dy) * dx + (-0.5 * cc) * dy * dy
+            q = op * jnp.exp(power)
             alpha = jnp.minimum(ALPHA_MAX, q)
             a = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
 
             pos = row_pos0 + lane_s  # 0-based padded-slot position
             contrib = (pos < lastc) & (a > 0.0)
-            u = jnp.where(contrib, 1.0 - a, 1.0)
             a_c = jnp.where(contrib, a, 0.0)
+            u = 1.0 - a_c  # == 1 exactly where not contrib
 
             # reverse inclusive cumprod along sublanes: prod_{i' >= i} u_i'
             cp = u
@@ -622,7 +643,13 @@ def _bwd_kernel_body(
                 )
                 kk *= 2
             r_full = cp * r_old
-            t_before = tf / r_full  # T_i
+            # ONE reciprocal serves both divisions of the math below:
+            # T_i = tf / P_i and suffix_i / u_i = suffix_i * P_{i+1} / P_i
+            # (u_i = P_i / P_{i+1} by the reverse-cumprod recurrence), so
+            # P_shift = [P_1.., r_old] turns the second divide into mults
+            inv_p = 1.0 / r_full
+            p_shift = jnp.concatenate([r_full[1:, :], r_old], axis=0)
+            t_before = tf * inv_p  # T_i
             w = t_before * a_c  # (CHUNK, 256)
 
             # dL/da_i = dC . (T_i c_i - suffix_i / u_i); dC is constant
@@ -643,21 +670,59 @@ def _bwd_kernel_body(
                 kk *= 2
             dc_dot_suf = ri - wcd + sdc_old
             g_alpha = jnp.where(
-                contrib, t_before * dc_dot_c - dc_dot_suf / u, 0.0
+                contrib,
+                inv_p * (tf * dc_dot_c - dc_dot_suf * p_shift),
+                0.0,
             )
 
             not_clamped = q < ALPHA_MAX
             g_q = jnp.where(not_clamped, g_alpha, 0.0)
             g_power = q * g_q
-            g_op_pix = exp_p * g_q
 
             base = j * CHUNK
-            g_mx = jnp.sum(-(ca * dx + cb * dy) * g_power, axis=1, keepdims=True)
-            g_my = jnp.sum(-(cc * dy + cb * dx) * g_power, axis=1, keepdims=True)
-            g_ca = jnp.sum(-0.5 * dx * dx * g_power, axis=1, keepdims=True)
-            g_cb = jnp.sum(-dx * dy * g_power, axis=1, keepdims=True)
-            g_cc = jnp.sum(-0.5 * dy * dy * g_power, axis=1, keepdims=True)
-            g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
+            if MOMENT_MXU:
+                # ONE matmul against the constant in-tile basis gives
+                # all six raw moments; binomial shift to instance-
+                # centered moments in (CHUNK, 1) column math
+                mmt = jax.lax.dot_general(
+                    g_power, basis, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )  # (CHUNK, 6): [S0, Sqx, Sqy, Sqxx, Sqxy, Sqyy]
+                s0 = mmt[:, 0:1]
+                sqx = mmt[:, 1:2]
+                sqy = mmt[:, 2:3]
+                mxl = mean_x - px[0:1, 0:1]  # lx[0] == 0 -> tile x off
+                myl = mean_y - py[0:1, 0:1]
+                s_x = mxl * s0 - sqx
+                s_y = myl * s0 - sqy
+                s_xx = mxl * mxl * s0 - 2.0 * mxl * sqx + mmt[:, 3:4]
+                s_xy = (mxl * myl * s0 - mxl * sqy - myl * sqx
+                        + mmt[:, 4:5])
+                s_yy = myl * myl * s0 - 2.0 * myl * sqy + mmt[:, 5:6]
+            else:
+                # moment factoring: mean/conic grads are linear in the
+                # five lane-moments of g_power against (1|dx|dy)^2 with
+                # PER-INSTANCE coefficients, so compute the moments once
+                # (5 wide mults + 5 reduces) and apply ca/cb/cc in
+                # (CHUNK, 1) column math — replaces five separate
+                # integrand chains (~17 wide mults) feeding the reduces
+                t1 = dx * g_power
+                t2 = dy * g_power
+                s0 = jnp.sum(g_power, axis=1, keepdims=True)
+                s_x = jnp.sum(t1, axis=1, keepdims=True)
+                s_y = jnp.sum(t2, axis=1, keepdims=True)
+                s_xx = jnp.sum(t1 * dx, axis=1, keepdims=True)
+                s_xy = jnp.sum(t1 * dy, axis=1, keepdims=True)
+                s_yy = jnp.sum(t2 * dy, axis=1, keepdims=True)
+            g_mx = -(ca * s_x + cb * s_y)
+            g_my = -(cc * s_y + cb * s_x)
+            g_ca = -0.5 * s_xx
+            g_cb = -s_xy
+            g_cc = -0.5 * s_yy
+            # g_op = sum(exp(power) * g_q) = sum(q * g_q) / op: the
+            # opacity grad falls out of the S0 moment via the
+            # per-instance column divide — no sixth wide integrand
+            g_op = s0 / op
             g_rgb = jax.lax.dot_general(
                 w, dc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,

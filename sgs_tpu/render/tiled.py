@@ -489,29 +489,52 @@ def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
     return jnp.concatenate([attr_sorted, sentinel])
 
 
-def _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank):
-    """Tight-path per-ROW attribute table (R+1, REC): the aligned packer
-    indexes this table DIRECTLY per padded slot (one slots-scale random
-    row gather from the R-sized table — the smallest table the pipeline
-    can offer), replacing the former M-scale attr gather + slots-scale
-    pack gather pair (~14 ms combined at 1080p/100k). Sentinel row at
-    r_cap (opacity 0)."""
+# Split the slots-scale attr gather into TWO half-width tables once the
+# (R+1, REC) source table crosses the random-row-gather byte cliff:
+# scripts/exp_gather_model.py measured 22.4 ns/row from a 126 MB 16-lane
+# table vs 4.9 ns/row from each 63 MB 8-lane half — 2.3x for the same
+# bytes moved. Below the cliff one gather wins (two dispatches cost more
+# than the table discount). ~48 MB = 3M rows at 16 f32 lanes.
+SPLIT_ATTR_TABLE_ROWS = 768 * 1024
+
+
+def _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank, split):
+    """Tight-path per-ROW attribute table: the aligned packer indexes
+    this table DIRECTLY per padded slot (one slots-scale random row
+    gather from the R-sized table — the smallest table the pipeline can
+    offer), replacing the former M-scale attr gather + slots-scale pack
+    gather pair (~14 ms combined at 1080p/100k). Sentinel row at r_cap
+    (opacity 0). The id column of the generic record layout is DEAD on
+    this path (the presort reduction replaces windows-keying), so only
+    lanes 0..8 carry data.
+
+    Returns a 1-tuple (full (R+1, REC) table) or, when split, a 2-tuple
+    of COMPACT (R+1, 8) half tables (each built from its own columns so
+    the gather sources are physically narrow, not strided slices)."""
     from sgs_tpu.ops.pallas import flat_raster as fr
 
     f32 = jnp.float32
     n = mean2d.shape[0]
-    assert n < (1 << 24), "f32 id column exact only below 2^24 gaussians"
-    attr = jnp.concatenate(
-        [
-            mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
-            rgb.astype(f32), jnp.arange(n, dtype=f32)[:, None],
-            jnp.zeros((n, fr.REC - 10), f32),
-        ],
-        axis=1,
+    cols = [
+        mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
+        rgb.astype(f32),
+    ]
+    if not split:
+        attr = jnp.concatenate(
+            cols + [jnp.zeros((n, fr.REC - 9), f32)], axis=1
+        )
+        sentinel = jnp.zeros((1, fr.REC), f32)
+        # [order] is an N-scale gather, [grank] monotone at R scale
+        return (jnp.concatenate([attr[order][grank], sentinel]),)
+    attr_a = jnp.concatenate(cols, axis=1)[:, :8]  # mx,my,ca,cb,cc,op,r,g
+    attr_b = jnp.concatenate(
+        [cols[3][:, 2:3], jnp.zeros((n, 7), f32)], axis=1
+    )  # b, 0 x7
+    sent = jnp.zeros((1, 8), f32)
+    return (
+        jnp.concatenate([attr_a[order][grank], sent]),
+        jnp.concatenate([attr_b[order][grank], sent]),
     )
-    sentinel = jnp.zeros((1, fr.REC), f32).at[0, 9].set(float(n))
-    # [order] is an N-scale gather, [grank] monotone at R scale
-    return jnp.concatenate([attr[order][grank], sentinel])
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -583,8 +606,12 @@ def _forward_pallas(
             tile_id, rowid, num_tiles, max_rows, r_cap
         )
         overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
-        attr_rows = _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank)
-        packed = attr_rows[rowid_padded]  # (slots, REC): THE pack gather
+        split = (r_cap + 1) > SPLIT_ATTR_TABLE_ROWS
+        tabs = _attr_rows_tight(
+            mean2d, conic, rgb, opacity, order, grank, split
+        )
+        # THE pack gather, (slots, REC) rows straight into slot positions
+        packed = jnp.concatenate([t[rowid_padded] for t in tabs], axis=1)
         tight_extras = {
             "inst_padded": inst_padded, "rank_rows": rank_rows,
             "offs2_ptr": offs2_ptr, "order": order,

@@ -97,3 +97,36 @@ def test_pallas_empty_and_saturated_tiles():
     )
     # corners are background
     np.testing.assert_allclose(np.asarray(pal["render"])[:, 0, 0], np.asarray(bg), rtol=1e-6)
+
+
+def test_pallas_gradients_moment_mxu(monkeypatch):
+    """MOMENT_MXU backward (single-matmul moment reductions with the
+    binomial shift to instance-centered moments) must match the direct
+    VPU reductions to f32-cancellation tolerance."""
+    from sgs_tpu.ops.pallas import flat_raster as fr
+
+    cam = make_camera(width=48, height=32)
+    scene = random_scene(50, seed=5)
+    bg = jnp.zeros(3)
+    target = np.random.default_rng(7).uniform(size=(3, 32, 48)).astype(np.float32)
+
+    def loss(m, s, q, o, c):
+        out = render(
+            cam, GaussianInputs(
+                means3d=m, opacities=o, scales=s, rotations=q,
+                colors_precomp=c,
+            ), bg, mode="tiled", backend="pallas",
+        )
+        return jnp.mean(jnp.abs(out["render"] - target))
+
+    args = tuple(jnp.asarray(x) for x in scene)
+    g_ref = jax.grad(loss, argnums=tuple(range(5)))(*args)
+    monkeypatch.setattr(fr, "MOMENT_MXU", True)
+    jax.clear_caches()
+    g_mxu = jax.grad(loss, argnums=tuple(range(5)))(*args)
+    jax.clear_caches()
+    for gr, gm in zip(g_ref, g_mxu):
+        scale = max(float(jnp.max(jnp.abs(gr))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gr), atol=2e-4 * scale, rtol=0
+        )

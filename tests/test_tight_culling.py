@@ -139,3 +139,43 @@ def test_tight_count_matches_build():
     )
     assert int(ovf) == 0
     assert int(jnp.sum(tile_id < num_tiles)) == ti
+
+
+def test_tight_split_attr_gather_matches(monkeypatch):
+    """The large-table split attr gather (two compact (R+1, 8) halves,
+    5M-regime path) is bit-compatible with the single-table gather:
+    same image, same grads."""
+    import sgs_tpu.render.tiled as tiled_mod
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(2)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    mi = -(-ti // 256) * 256 + 256
+
+    def run():
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=mi, backend="pallas", max_row_instances=rc,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        ct = jnp.asarray(
+            np.random.default_rng(11).standard_normal((3, h, w))
+            .astype(np.float32)
+        )
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return np.asarray(img), int(ovf), [np.asarray(g) for g in vjp_fn(ct)]
+
+    img_one, ovf_one, g_one = run()
+    monkeypatch.setattr(tiled_mod, "SPLIT_ATTR_TABLE_ROWS", 0)
+    img_two, ovf_two, g_two = run()
+    assert ovf_one == ovf_two == 0
+    np.testing.assert_array_equal(img_two, img_one)
+    for ga, gb in zip(g_one, g_two):
+        np.testing.assert_array_equal(gb, ga)
