@@ -1092,3 +1092,62 @@ def rasterize_tiled(
         max_row_instances,
         max_kernel_rows,
     )
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "slabs", "max_instances", "chunk", "backend",
+        "max_row_instances", "max_kernel_rows",
+    ),
+)
+def rasterize_slabbed(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    conic: jnp.ndarray,
+    rgb: jnp.ndarray,
+    opacity: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    bg: jnp.ndarray,
+    width: int,
+    height: int,
+    slabs: int,
+    max_instances: int,
+    chunk: int = 1024,
+    backend: str = "pallas",
+    max_row_instances: int = 0,
+    max_kernel_rows: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Slab rendering: the frame is split into `slabs` horizontal slabs
+    rendered SEQUENTIALLY in one jit, concatenated to the full image.
+
+    The garden-scale (5M-Gaussian) regime's per-instance cost grows
+    2.7x over the 100k regime because the instance-scale tables (sorted
+    arrays, attr tables, grad buffers) leave their fast gather/sort
+    regimes (PERF_NOTES scaling table). Per-slab tables are ~1/slabs
+    the size, so every instance-scale op runs in the fast regime; the
+    N-scale projection inputs are shared, and XLA CSE merges the
+    slab-invariant depth sort across the unrolled slab calls.
+
+    Buckets (max_instances / max_row_instances / max_kernel_rows) are
+    PER-SLAB: size them from a max over the slab viewports (see
+    scripts/exp_slab.py). Returns ((3, H, W) image, summed overflow).
+    """
+    tiles_y = -(-height // TILE)
+    slab_ty = -(-tiles_y // slabs)
+    bh = slab_ty * TILE
+    shift = jnp.asarray([0.0, 1.0], jnp.float32)
+    imgs = []
+    overflow = jnp.int32(0)
+    for s in range(slabs):
+        img_s, ovf_s = rasterize_tiled(
+            mean2d - shift * float(s * bh), depth, conic, rgb, opacity,
+            radius, valid, bg, width, bh,
+            max_instances=max_instances, chunk=chunk, backend=backend,
+            max_row_instances=max_row_instances,
+            max_kernel_rows=max_kernel_rows,
+        )
+        imgs.append(img_s)
+        overflow = overflow + ovf_s
+    full = jnp.concatenate(imgs, axis=1)[:, :height, :]
+    return full, overflow

@@ -179,3 +179,50 @@ def test_tight_split_attr_gather_matches(monkeypatch):
     np.testing.assert_array_equal(img_two, img_one)
     for ga, gb in zip(g_one, g_two):
         np.testing.assert_array_equal(gb, ga)
+
+
+def test_slabbed_matches_single_pass():
+    """rasterize_slabbed (sequential slab loop, 5M-regime path) must
+    reproduce the single-pass image and gradients exactly up to f32
+    summation order."""
+    from sgs_tpu.render.tiled import rasterize_slabbed
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(4)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 64
+    ti = int(instance_count_tight(
+        mean2d, conic, opac, depth, radius, valid, w, h, rc
+    ))
+    mi = -(-ti // 256) * 256 + 512
+
+    def f_single(m2, cn, rg, op, b):
+        img, ovf = rasterize_tiled(
+            m2, depth, cn, rg, op, radius, valid, b, w, h,
+            max_instances=mi, backend="pallas", max_row_instances=rc,
+        )
+        return img, ovf
+
+    def f_slab(m2, cn, rg, op, b):
+        img, ovf = rasterize_slabbed(
+            m2, depth, cn, rg, op, radius, valid, b, w, h, 2,
+            max_instances=mi, backend="pallas", max_row_instances=rc,
+        )
+        return img, ovf
+
+    img_1, ovf_1 = f_single(mean2d, conic, rgb, opac, bg)
+    img_2, ovf_2 = f_slab(mean2d, conic, rgb, opac, bg)
+    assert int(ovf_1) == 0 and int(ovf_2) == 0
+    np.testing.assert_allclose(
+        np.asarray(img_2), np.asarray(img_1), atol=3e-6, rtol=0
+    )
+
+    ct = jnp.asarray(
+        np.random.default_rng(9).standard_normal(img_1.shape)
+        .astype(np.float32)
+    )
+    _, vjp_1 = jax.vjp(lambda *a: f_single(*a)[0], mean2d, conic, rgb, opac, bg)
+    _, vjp_2 = jax.vjp(lambda *a: f_slab(*a)[0], mean2d, conic, rgb, opac, bg)
+    for g1, g2 in zip(vjp_1(ct), vjp_2(ct)):
+        scale = max(float(jnp.max(jnp.abs(g1))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g1), atol=3e-5 * scale, rtol=0
+        )
