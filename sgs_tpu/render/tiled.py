@@ -142,14 +142,25 @@ def _x_tile_interval(mx, my, ca, cb, cc, tau, ty, min_x, max_x, tiles_x):
 
 
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
-                 width, height, max_row_instances):
+                 width, height, max_row_instances, rgb=None):
     """Level-1 tight expansion: Gaussians -> depth-ordered tile-ROW
     instances with exact per-row tile x-intervals.
 
     Returns (order (N,), grank (R,) gaussian depth rank per row, ty (R,),
     txlo/txhi (R,) exact interval, w (R,) widths, row_live (R,),
-    row_overflow, tiles_x, tiles_y). Only elementwise ops, two cummax
-    fills, one N-sized sort, and two MONOTONE row gathers."""
+    row_overflow, tiles_x, tiles_y, offs, counts_o, (attr_a, attr_b)
+    MERGED ranked payload tables). Only elementwise ops, two cummax
+    fills, one N-sized sort, and two composed-index row gathers.
+
+    MERGED payload (round 4, from the 5M trace where R-scale payload
+    gathers were ~20% of the frame): ONE (R, 8) gather serves BOTH the
+    level-1 culling (lanes 0-5: mx, my, ca, cb, cc, op — tau and the
+    clipped rect bounds are derived elementwise at R scale) AND, via the
+    caller, the slot attribute table (lanes 0-7 are exactly the split-A
+    attr record). attr_b carries [b, radius, gaussian-id] — XLA shrinks
+    its mostly-dead lanes automatically. With rgb=None (count
+    pre-passes) the color lanes are zeros; culling reads only lanes
+    0-5, so counts are unchanged."""
     n = mean2d.shape[0]
     i32 = jnp.int32
     f32 = jnp.float32
@@ -191,27 +202,62 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
     ty = (f_y & ((1 << fby) - 1)) + (ridx - run_start)
     row_live = ridx < jnp.minimum(row_total, r_cap)
 
-    # per-row attributes: ONE (N, 8) record, ranked at N scale, then a
-    # MONOTONE row gather at R scale (grank is non-decreasing)
-    tau = jnp.log(jnp.maximum(opacity.astype(f32), 1e-12) * (1.0 / ALPHA_MIN))
-    cull = jnp.stack(
+    # composed index: ONE int gather shared by both payload gathers
+    # (XLA composes attr[order][grank] into a single payload gather with
+    # these indices; making the compose explicit lets the A and B
+    # payload gathers CSE it)
+    gidx = order[grank]  # (R,) original gaussian index per row
+
+    if rgb is None:
+        r_col = g_col = b_col = jnp.zeros((n,), f32)
+    else:
+        r_col = rgb[:, 0].astype(f32)
+        g_col = rgb[:, 1].astype(f32)
+        b_col = rgb[:, 2].astype(f32)
+    assert n < (1 << 24), "f32 id lane exact only below 2^24 gaussians"
+    attr_a_n = jnp.stack(
         [
             mean2d[:, 0].astype(f32), mean2d[:, 1].astype(f32),
             conic[:, 0].astype(f32), conic[:, 1].astype(f32),
-            conic[:, 2].astype(f32), tau,
-            min_x.astype(f32), max_x.astype(f32),
+            conic[:, 2].astype(f32), opacity.astype(f32),
+            r_col, g_col,
         ],
         axis=1,
     )
-    cr = cull[order][grank]  # (R, 8)
+    attr_b_n = jnp.stack(
+        [
+            b_col, radius.astype(f32), jnp.arange(n, dtype=f32),
+            jnp.zeros((n,), f32), jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32), jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
+        ],
+        axis=1,
+    )
+    attr_a = attr_a_n[gidx]  # (R, 8) — THE merged payload gather
+    attr_b = attr_b_n[gidx]
+
+    # level-1 culling from the merged payload: tau and the clipped rect
+    # x-bounds re-derive elementwise at R scale (bit-identical to the
+    # old N-scale pre-computation: same formulas, same inputs)
+    mx_r, my_r = attr_a[:, 0], attr_a[:, 1]
+    tau_r = jnp.log(
+        jnp.maximum(attr_a[:, 5], 1e-12) * (1.0 / ALPHA_MIN)
+    )
+    rad_r = attr_b[:, 1]
+    minx_r = jnp.clip(
+        ((mx_r - rad_r) / TILE).astype(i32), 0, tiles_x
+    )
+    maxx_r = jnp.clip(
+        ((mx_r + rad_r + TILE - 1) / TILE).astype(i32), 0, tiles_x
+    )
     txlo, txhi = _x_tile_interval(
-        cr[:, 0], cr[:, 1], cr[:, 2], cr[:, 3], cr[:, 4], cr[:, 5],
-        ty, cr[:, 6].astype(i32), cr[:, 7].astype(i32), tiles_x,
+        mx_r, my_r, attr_a[:, 2], attr_a[:, 3], attr_a[:, 4], tau_r,
+        ty, minx_r, maxx_r, tiles_x,
     )
     w = jnp.where(row_live, jnp.maximum(txhi - txlo, 0), 0)
     return (
         order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
-        offs, counts_o,
+        offs, counts_o, (attr_a, attr_b),
     )
 
 
@@ -225,7 +271,7 @@ def instance_count_tight(
     row_count first.)"""
     out = _expand_rows(
         mean2d, conic, opacity, depth, radius, valid,
-        width, height, max_row_instances,
+        width, height, max_row_instances, rgb=None,
     )
     return jnp.sum(out[4])
 
@@ -264,7 +310,7 @@ def kernel_row_count(
 
 def _expand_instances_tight(
     mean2d, conic, opacity, depth, radius, valid,
-    width, height, max_instances, max_row_instances,
+    width, height, max_instances, max_row_instances, rgb=None,
 ):
     """Tight binning: two-level expansion (Gaussians -> tile rows ->
     exactly-overlapped tiles) emitting UNSORTED per-instance ids with
@@ -281,10 +327,10 @@ def _expand_instances_tight(
     i32 = jnp.int32
     m = max_instances
     (order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
-     rank_row0, rank_nrows) = (
+     rank_row0, rank_nrows, payload) = (
         _expand_rows(
             mean2d, conic, opacity, depth, radius, valid,
-            width, height, max_row_instances,
+            width, height, max_row_instances, rgb=rgb,
         )
     )
     num_tiles = tiles_x * tiles_y
@@ -350,7 +396,7 @@ def _expand_instances_tight(
     rank_rows = (rank_row0, rank_nrows)
     return (
         tile_id, rowid, grank, offs2_ptr, rank_rows, order,
-        overflow, num_tiles, tiles_x, tiles_y,
+        overflow, num_tiles, tiles_x, tiles_y, payload,
     )
 
 
@@ -489,52 +535,19 @@ def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
     return jnp.concatenate([attr_sorted, sentinel])
 
 
-# Split the slots-scale attr gather into TWO half-width tables once the
-# (R+1, REC) source table crosses the random-row-gather byte cliff:
-# scripts/exp_gather_model.py measured 22.4 ns/row from a 126 MB 16-lane
-# table vs 4.9 ns/row from each 63 MB 8-lane half — 2.3x for the same
-# bytes moved. Below the cliff one gather wins (two dispatches cost more
-# than the table discount). ~48 MB = 3M rows at 16 f32 lanes.
-SPLIT_ATTR_TABLE_ROWS = 768 * 1024
+# (The former separate tight-path attr table build — _attr_rows_tight —
+# is gone: the level-1 expansion's MERGED ranked payload now feeds both
+# the x-interval culling and the slot attribute tables with ONE R-scale
+# payload gather pair. See _expand_rows.)
 
-
-def _attr_rows_tight(mean2d, conic, rgb, opacity, order, grank, split):
-    """Tight-path per-ROW attribute table: the aligned packer indexes
-    this table DIRECTLY per padded slot (one slots-scale random row
-    gather from the R-sized table — the smallest table the pipeline can
-    offer), replacing the former M-scale attr gather + slots-scale pack
-    gather pair (~14 ms combined at 1080p/100k). Sentinel row at r_cap
-    (opacity 0). The id column of the generic record layout is DEAD on
-    this path (the presort reduction replaces windows-keying), so only
-    lanes 0..8 carry data.
-
-    Returns a 1-tuple (full (R+1, REC) table) or, when split, a 2-tuple
-    of COMPACT (R+1, 8) half tables (each built from its own columns so
-    the gather sources are physically narrow, not strided slices)."""
-    from sgs_tpu.ops.pallas import flat_raster as fr
-
-    f32 = jnp.float32
-    n = mean2d.shape[0]
-    cols = [
-        mean2d.astype(f32), conic.astype(f32), opacity.astype(f32)[:, None],
-        rgb.astype(f32),
-    ]
-    if not split:
-        attr = jnp.concatenate(
-            cols + [jnp.zeros((n, fr.REC - 9), f32)], axis=1
-        )
-        sentinel = jnp.zeros((1, fr.REC), f32)
-        # [order] is an N-scale gather, [grank] monotone at R scale
-        return (jnp.concatenate([attr[order][grank], sentinel]),)
-    attr_a = jnp.concatenate(cols, axis=1)[:, :8]  # mx,my,ca,cb,cc,op,r,g
-    attr_b = jnp.concatenate(
-        [cols[3][:, 2:3], jnp.zeros((n, 7), f32)], axis=1
-    )  # b, 0 x7
-    sent = jnp.zeros((1, 8), f32)
-    return (
-        jnp.concatenate([attr_a[order][grank], sent]),
-        jnp.concatenate([attr_b[order][grank], sent]),
-    )
+# Above this many padded slots, the tight path's per-Gaussian gradient
+# reduction switches from the presort-contiguous pipeline to a direct
+# scatter-add keyed on the payload id lane: the presort pipeline's two
+# (slots, 8) random row gathers + permutation sort win at bench scale
+# (14 vs 35 ms at 2.6M slots, round 2) but the gathers grow ~linearly
+# with table bytes while the scatter does not (5M trace: 474 ms of
+# reduction gathers). Threshold set from the measured crossover.
+REDUCE_SCATTER_SLOTS = 6 * 1024 * 1024
 
 
 def _chunk_pixels(tids, tiles_x):
@@ -589,10 +602,10 @@ def _forward_pallas(
     windows = None
     if max_row_instances > 0:
         (tile_id, rowid, grank, offs2_ptr, rank_rows, order,
-         overflow, num_tiles, tiles_x, tiles_y) = (
+         overflow, num_tiles, tiles_x, tiles_y, payload) = (
             _expand_instances_tight(
                 mean2d, conic, opacity, depth, radius, valid,
-                width, height, max_instances, max_row_instances,
+                width, height, max_instances, max_row_instances, rgb=rgb,
             )
         )
         if max_kernel_rows > 0:
@@ -606,12 +619,20 @@ def _forward_pallas(
             tile_id, rowid, num_tiles, max_rows, r_cap
         )
         overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
-        split = (r_cap + 1) > SPLIT_ATTR_TABLE_ROWS
-        tabs = _attr_rows_tight(
-            mean2d, conic, rgb, opacity, order, grank, split
+        # THE pack gather: two compact (R+1, 8) half tables straight from
+        # the level-1 expansion's MERGED payload (the same ranked gather
+        # that fed the x-interval culling — no separate attr table build).
+        # Split halves ride the measured gather byte-cliff; XLA shrinks
+        # B's dead lanes. Sentinel row r_cap: opacity 0, id lane = n.
+        n_g = mean2d.shape[0]
+        attr_a_r, attr_b_r = payload
+        tab_a = jnp.concatenate([attr_a_r, jnp.zeros((1, 8), f32)])
+        tab_b = jnp.concatenate(
+            [attr_b_r, jnp.zeros((1, 8), f32).at[0, 2].set(float(n_g))]
         )
-        # THE pack gather, (slots, REC) rows straight into slot positions
-        packed = jnp.concatenate([t[rowid_padded] for t in tabs], axis=1)
+        packed = jnp.concatenate(
+            [tab_a[rowid_padded], tab_b[rowid_padded]], axis=1
+        )
         tight_extras = {
             "inst_padded": inst_padded, "rank_rows": rank_rows,
             "offs2_ptr": offs2_ptr, "order": order,
@@ -773,6 +794,7 @@ def _backward_pallas_host(
 
     dC = _image_to_tiles_cf(d_img, width, height, tiles_x, tiles_y)
     safe_tile = jnp.minimum(row_tile, num_tiles - 1)
+    slots = packed_t.shape[1]
     # ONE fused (T, 5, 256) aux table -> one row gather, one kernel
     # operand (separate tfl/dc operands sublane-pad 2->8 and 3->8: 2x
     # the streamed bytes and two gathers)
@@ -798,7 +820,16 @@ def _backward_pallas_host(
         )
     )
     tight = built.get("tight")
-    if tight is not None:
+    if tight is not None and slots > REDUCE_SCATTER_SLOTS:
+        # garden-scale regime: the presort reduction's two (slots, 8)
+        # random row gathers + permutation sort grow past the direct
+        # scatter-add's cost (5M trace: the reduction gathers alone were
+        # ~17% of the frame). Keys come FREE from the merged payload's
+        # id lane (packed_t row 10); dead/padding slots carry id = n and
+        # zero grads, so they drop exactly like rect-path windows.
+        keys = packed_t[10].astype(jnp.int32)
+        d = fr.reduce_grads(padgrads, keys, n)
+    elif tight is not None:
         # presort-contiguous reduction (no scatter-add; see
         # flat_raster.reduce_grads_presort). slot_of_inst is derived
         # HERE (backward-only cost) from the aligned layout's
