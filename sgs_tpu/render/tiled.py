@@ -141,6 +141,15 @@ def _x_tile_interval(mx, my, ca, cb, cc, tau, ty, min_x, max_x, tiles_x):
     return jnp.where(nonempty, txlo, 0), jnp.where(nonempty, txhi, 0)
 
 
+# Split the payload/attr tables into two 8-lane halves once the R-scale
+# source table crosses the random-row-gather byte cliff:
+# scripts/exp_gather_model.py measured 22.4 ns/row from a 126 MB 16-lane
+# table vs 4.9 ns/row from each 63 MB 8-lane half — 2.3x for the same
+# bytes moved. Below the cliff one gather wins (two dispatches cost more
+# than the table discount). ~48 MB = 768k rows at 16 f32 lanes.
+SPLIT_ATTR_TABLE_ROWS = 768 * 1024
+
+
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
                  width, height, max_row_instances, rgb=None):
     """Level-1 tight expansion: Gaussians -> depth-ordered tile-ROW
@@ -215,35 +224,45 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
         g_col = rgb[:, 1].astype(f32)
         b_col = rgb[:, 2].astype(f32)
     assert n < (1 << 24), "f32 id lane exact only below 2^24 gaussians"
-    attr_a_n = jnp.stack(
-        [
-            mean2d[:, 0].astype(f32), mean2d[:, 1].astype(f32),
-            conic[:, 0].astype(f32), conic[:, 1].astype(f32),
-            conic[:, 2].astype(f32), opacity.astype(f32),
-            r_col, g_col,
-        ],
-        axis=1,
-    )
-    attr_b_n = jnp.stack(
-        [
-            b_col, radius.astype(f32), jnp.arange(n, dtype=f32),
-            jnp.zeros((n,), f32), jnp.zeros((n,), f32),
-            jnp.zeros((n,), f32), jnp.zeros((n,), f32),
-            jnp.zeros((n,), f32),
-        ],
-        axis=1,
-    )
-    attr_a = attr_a_n[gidx]  # (R, 8) — THE merged payload gather
-    attr_b = attr_b_n[gidx]
+    cols = [
+        mean2d[:, 0].astype(f32), mean2d[:, 1].astype(f32),
+        conic[:, 0].astype(f32), conic[:, 1].astype(f32),
+        conic[:, 2].astype(f32), opacity.astype(f32),
+        r_col, g_col, b_col, radius.astype(f32),
+        jnp.arange(n, dtype=f32),
+    ]
+    if r_cap + 1 <= SPLIT_ATTR_TABLE_ROWS:
+        # below the gather byte-cliff ONE wide table wins: a single
+        # (N, 16) source + one R-scale gather + (downstream) one
+        # slots-scale gather — two dispatches cost more than the table
+        # discount at this size (exp_gather_model; restored round 4
+        # after the always-split merged payload regressed the 100k
+        # bench 13.1 -> 10.6 fps)
+        attr_n = jnp.stack(
+            cols + [jnp.zeros((n,), f32)] * (16 - len(cols)), axis=1
+        )
+        pl = attr_n[gidx]  # (R, 16) — THE merged payload gather
+        payload = (pl,)
+        mx_r, my_r = pl[:, 0], pl[:, 1]
+        c_a, c_b, c_c = pl[:, 2], pl[:, 3], pl[:, 4]
+        op_r, rad_r = pl[:, 5], pl[:, 9]
+    else:
+        attr_a_n = jnp.stack(cols[:8], axis=1)
+        attr_b_n = jnp.stack(
+            cols[8:] + [jnp.zeros((n,), f32)] * (8 - len(cols[8:])),
+            axis=1,
+        )
+        attr_a = attr_a_n[gidx]  # (R, 8) — split merged payload gathers
+        attr_b = attr_b_n[gidx]
+        payload = (attr_a, attr_b)
+        mx_r, my_r = attr_a[:, 0], attr_a[:, 1]
+        c_a, c_b, c_c = attr_a[:, 2], attr_a[:, 3], attr_a[:, 4]
+        op_r, rad_r = attr_a[:, 5], attr_b[:, 1]
 
     # level-1 culling from the merged payload: tau and the clipped rect
     # x-bounds re-derive elementwise at R scale (bit-identical to the
     # old N-scale pre-computation: same formulas, same inputs)
-    mx_r, my_r = attr_a[:, 0], attr_a[:, 1]
-    tau_r = jnp.log(
-        jnp.maximum(attr_a[:, 5], 1e-12) * (1.0 / ALPHA_MIN)
-    )
-    rad_r = attr_b[:, 1]
+    tau_r = jnp.log(jnp.maximum(op_r, 1e-12) * (1.0 / ALPHA_MIN))
     minx_r = jnp.clip(
         ((mx_r - rad_r) / TILE).astype(i32), 0, tiles_x
     )
@@ -251,13 +270,13 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
         ((mx_r + rad_r + TILE - 1) / TILE).astype(i32), 0, tiles_x
     )
     txlo, txhi = _x_tile_interval(
-        mx_r, my_r, attr_a[:, 2], attr_a[:, 3], attr_a[:, 4], tau_r,
+        mx_r, my_r, c_a, c_b, c_c, tau_r,
         ty, minx_r, maxx_r, tiles_x,
     )
     w = jnp.where(row_live, jnp.maximum(txhi - txlo, 0), 0)
     return (
         order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,
-        offs, counts_o, (attr_a, attr_b),
+        offs, counts_o, payload,
     )
 
 
@@ -619,20 +638,27 @@ def _forward_pallas(
             tile_id, rowid, num_tiles, max_rows, r_cap
         )
         overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
-        # THE pack gather: two compact (R+1, 8) half tables straight from
-        # the level-1 expansion's MERGED payload (the same ranked gather
-        # that fed the x-interval culling — no separate attr table build).
-        # Split halves ride the measured gather byte-cliff; XLA shrinks
-        # B's dead lanes. Sentinel row r_cap: opacity 0, id lane = n.
+        # THE pack gather, straight from the level-1 expansion's MERGED
+        # payload (the same ranked gather that fed the x-interval
+        # culling — no separate attr table build). ONE (R+1, 16) table
+        # below the gather byte-cliff; two compact (R+1, 8) halves above
+        # it (SPLIT_ATTR_TABLE_ROWS — the split choice is made where the
+        # payload is built, in _expand_rows). Sentinel row r_cap:
+        # opacity 0, id lane (10) = n.
         n_g = mean2d.shape[0]
-        attr_a_r, attr_b_r = payload
-        tab_a = jnp.concatenate([attr_a_r, jnp.zeros((1, 8), f32)])
-        tab_b = jnp.concatenate(
-            [attr_b_r, jnp.zeros((1, 8), f32).at[0, 2].set(float(n_g))]
-        )
-        packed = jnp.concatenate(
-            [tab_a[rowid_padded], tab_b[rowid_padded]], axis=1
-        )
+        if len(payload) == 1:
+            sent = jnp.zeros((1, 16), f32).at[0, 10].set(float(n_g))
+            tab = jnp.concatenate([payload[0], sent])
+            packed = tab[rowid_padded]
+        else:
+            attr_a_r, attr_b_r = payload
+            tab_a = jnp.concatenate([attr_a_r, jnp.zeros((1, 8), f32)])
+            tab_b = jnp.concatenate(
+                [attr_b_r, jnp.zeros((1, 8), f32).at[0, 2].set(float(n_g))]
+            )
+            packed = jnp.concatenate(
+                [tab_a[rowid_padded], tab_b[rowid_padded]], axis=1
+            )
         tight_extras = {
             "inst_padded": inst_padded, "rank_rows": rank_rows,
             "offs2_ptr": offs2_ptr, "order": order,
@@ -1078,11 +1104,49 @@ def _core_bwd(
 _rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 
+@partial(jax.jit, static_argnames=("width", "height"))
+def visible_count(mean2d, radius, valid, width: int, height: int):
+    """Visible-gaussian total — the max_visible bucket pre-pass (the
+    same validity test the binning applies: alive/valid AND on-screen
+    radius)."""
+    del mean2d, width, height
+    return jnp.sum((valid & (radius > 0)).astype(jnp.int32))
+
+
+def _visible_compact(mean2d, depth, conic, rgb, opacity, radius, valid,
+                     max_visible: int):
+    """Compact the per-Gaussian render inputs to the visible subset
+    (round 4, the 5M-regime structural cut): every N-scale pass of the
+    binning (depth sort, payload stacks, level-1 fills) otherwise costs
+    full pool CAPACITY per frame, while real captures keep only ~40-60%
+    of a converged pool in any one frustum (and training pools carry a
+    dead tail of up to 2x). One cumsum + row scatters — differentiable
+    (the scatter's transpose gathers cotangents back to original
+    indices), exact (dead slots carry valid=False), overflow-reported
+    like every other static bucket."""
+    i32 = jnp.int32
+    flag = valid & (radius > 0)
+    pos = jnp.cumsum(flag.astype(i32)) - 1
+    pos = jnp.where(flag, pos, max_visible)
+
+    def compact(x):
+        buf = jnp.zeros((max_visible,) + x.shape[1:], x.dtype)
+        return buf.at[pos].set(x, mode="drop")
+
+    nvis = jnp.sum(flag.astype(i32))
+    valid_c = jnp.arange(max_visible, dtype=i32) < nvis
+    ovf = jnp.maximum(nvis - max_visible, 0)
+    return (
+        compact(mean2d), compact(depth), compact(conic), compact(rgb),
+        compact(opacity), compact(radius), valid_c, ovf,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "chunk", "backend",
-        "max_row_instances", "max_kernel_rows",
+        "max_row_instances", "max_kernel_rows", "max_visible",
     ),
 )
 def rasterize_tiled(
@@ -1101,20 +1165,40 @@ def rasterize_tiled(
     backend: str = "xla",  # "xla" | "pallas" (forward kernel choice)
     max_row_instances: int = 0,  # > 0: tight (exact ellipse/tile) binning
     max_kernel_rows: int = 0,  # > 0: padded chunk-row bucket (pallas)
+    max_visible: int = 0,  # > 0: frustum/alive compaction bucket
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ((3, H, W) image, overflow count). overflow counts
     instances dropped by the static capacities (tight mode adds dropped
-    tile-ROW slots, and the kernel-row bucket adds dropped padded
-    slots); 0 = exact render."""
-    return _rasterize_core(
-        mean2d.astype(jnp.float32),
-        depth.astype(jnp.float32),
-        conic.astype(jnp.float32),
-        rgb.astype(jnp.float32),
-        opacity.astype(jnp.float32),
+    tile-ROW slots, the kernel-row bucket adds dropped padded slots,
+    and max_visible adds dropped visible Gaussians); 0 = exact render.
+
+    max_visible > 0 compacts the inputs to the visible subset first
+    (size with visible_count): every N-scale binning pass then costs
+    the visible count, not the pool capacity — the structural cut for
+    garden-scale pools where any one frustum sees a fraction of N."""
+    mean2d = mean2d.astype(jnp.float32)
+    depth = depth.astype(jnp.float32)
+    conic = conic.astype(jnp.float32)
+    rgb = rgb.astype(jnp.float32)
+    opacity = opacity.astype(jnp.float32)
+    bg = bg.astype(jnp.float32)
+    vis_ovf = jnp.zeros((), jnp.int32)
+    if max_visible > 0:
+        (mean2d, depth, conic, rgb, opacity, radius, valid, vis_ovf) = (
+            _visible_compact(
+                mean2d, depth, conic, rgb, opacity, radius, valid,
+                max_visible,
+            )
+        )
+    img, overflow = _rasterize_core(
+        mean2d,
+        depth,
+        conic,
+        rgb,
+        opacity,
         radius,
         valid,
-        bg.astype(jnp.float32),
+        bg,
         width,
         height,
         max_instances,
@@ -1123,6 +1207,7 @@ def rasterize_tiled(
         max_row_instances,
         max_kernel_rows,
     )
+    return img, overflow + vis_ovf
 
 @partial(
     jax.jit,

@@ -227,3 +227,106 @@ def test_slabbed_matches_single_pass():
         np.testing.assert_allclose(
             np.asarray(g2), np.asarray(g1), atol=3e-5 * scale, rtol=0
         )
+
+
+def test_split_payload_matches_single_table(monkeypatch):
+    """The split (two 8-lane halves) payload path — chosen above
+    SPLIT_ATTR_TABLE_ROWS, i.e. only at garden scale in production —
+    must produce bit-identical images and summation-order-equal grads
+    to the single (R+1, 16)-table path."""
+    import sgs_tpu.render.tiled as tiled_mod
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(3)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    mi = -(-ti // 256) * 256 + 256
+
+    def run():
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=mi, backend="pallas", max_row_instances=rc,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        ct = jnp.asarray(
+            np.random.default_rng(7).standard_normal((3, h, w))
+            .astype(np.float32)
+        )
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return np.asarray(img), int(ovf), [np.asarray(g) for g in vjp_fn(ct)]
+
+    img_one, ovf_one, g_one = run()
+    monkeypatch.setattr(tiled_mod, "SPLIT_ATTR_TABLE_ROWS", 0)
+    img_two, ovf_two, g_two = run()
+    assert ovf_one == ovf_two == 0
+    np.testing.assert_array_equal(img_two, img_one)
+    for ga, gb in zip(g_one, g_two):
+        scale = max(np.abs(ga).max(), 1.0)
+        np.testing.assert_allclose(gb, ga, atol=2e-6 * scale, rtol=0)
+
+
+def test_visible_compaction_matches_and_overflows():
+    """max_visible compaction (binning at visible-count scale instead
+    of pool capacity) is exact: same image, same input grads routed
+    back to ORIGINAL indices through the scatter transpose; an
+    undersized bucket reports overflow."""
+    from sgs_tpu.render.tiled import visible_count
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(5)
+    # kill a third of the scene (a dead pool tail + off-screen culls)
+    n = mean2d.shape[0]
+    valid = valid & (np.arange(n) % 3 != 0)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    mi = -(-ti // 256) * 256 + 256
+    nv = int(visible_count(mean2d, radius, valid, w, h))
+    assert 0 < nv < n
+    cap = -(-nv // 128) * 128
+
+    def run(mv):
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=mi, backend="pallas", max_row_instances=rc,
+                max_visible=mv,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        ct = jnp.asarray(
+            np.random.default_rng(13).standard_normal((3, h, w))
+            .astype(np.float32)
+        )
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return np.asarray(img), int(ovf), [np.asarray(g) for g in vjp_fn(ct)]
+
+    img_ref, ovf_ref, g_ref = run(0)
+    img_c, ovf_c, g_c = run(cap)
+    assert ovf_ref == ovf_c == 0
+    np.testing.assert_allclose(img_c, img_ref, atol=1e-6)
+    for ga, gb in zip(g_ref, g_c):
+        scale = max(np.abs(ga).max(), 1.0)
+        np.testing.assert_allclose(gb, ga, atol=2e-6 * scale, rtol=0)
+    # grads of dead/invalid gaussians are zero after compaction routing
+    dead = ~np.asarray(valid)
+    assert np.abs(g_c[0][dead]).max() == 0.0
+
+    # an undersized visible bucket must flag, not silently drop
+    _, ovf_small = jax.jit(
+        lambda: rasterize_tiled(
+            mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h,
+            max_instances=mi, backend="pallas", max_row_instances=rc,
+            max_visible=128,
+        )
+    )()
+    assert int(ovf_small) > 0
