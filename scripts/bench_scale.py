@@ -6,8 +6,14 @@ sweeps the pool size with converged-model statistics (splat screen
 footprint shrinking as N grows, matching how densification trades splat
 size for count) and reports instances, frame time, and fps per config.
 
-Usage: python scripts/bench_scale.py [N ...]   (default sweep below)
+Usage: python scripts/bench_scale.py [--capture] [N ...]  (default sweep)
 Prints one JSON line per config.
+
+--capture places the camera INSIDE the cloud looking outward (the
+garden-walkthrough geometry): a realistic fraction of the pool lands
+outside the frustum, and the run sizes a max_visible bucket
+(render/tiled.visible_count) so the binning pays visible count, not
+pool capacity. The default all-visible geometry is the worst case.
 """
 
 import json
@@ -24,7 +30,7 @@ WIDTH, HEIGHT = 1920, 1080
 ITERS = 4
 
 
-def run_config(n_gaussians: int) -> dict:
+def run_config(n_gaussians: int, capture: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -61,9 +67,16 @@ def run_config(n_gaussians: int) -> dict:
 
     fovx = math.radians(60)
     fovy = focal2fov(fov2focal(fovx, WIDTH), HEIGHT)
-    cam = Camera.from_Rt(
-        np.eye(3), np.array([0.0, 0.0, 4.5]), fovx, fovy, WIDTH, HEIGHT
-    )
+    if capture:
+        # camera just off-center inside the cloud: splats behind the
+        # eye and outside the 60-degree cone cull, like a real capture
+        cam = Camera.from_Rt(
+            np.eye(3), np.array([0.0, 0.0, 0.9]), fovx, fovy, WIDTH, HEIGHT
+        )
+    else:
+        cam = Camera.from_Rt(
+            np.eye(3), np.array([0.0, 0.0, 4.5]), fovx, fovy, WIDTH, HEIGHT
+        )
     gt = jnp.zeros((3, HEIGHT, WIDTH), jnp.float32)
     bg = jnp.zeros(3, jnp.float32)
 
@@ -72,6 +85,13 @@ def run_config(n_gaussians: int) -> dict:
         cam.full_proj_transform, cam.tanfovx, cam.tanfovy, WIDTH, HEIGHT,
     )
     valid = (proj["radius"] > 0) & pool.alive
+    n_vis = int(jnp.sum(valid))
+    # compaction only pays when the frustum actually culls; at ~full
+    # visibility the scatter is pure overhead
+    if n_vis < 0.9 * n_gaussians:
+        max_visible = -(-int(n_vis * 1.25) // 4096) * 4096
+    else:
+        max_visible = 0
     rows = int(
         row_count(proj["mean2d"], proj["radius"], valid, WIDTH, HEIGHT)
     )
@@ -100,6 +120,7 @@ def run_config(n_gaussians: int) -> dict:
                 cam, p.with_params(params).render_inputs(3), bg,
                 mode="tiled", max_instances=max_instances, backend="pallas",
                 max_row_instances=max_rows, max_kernel_rows=max_krows,
+                max_visible=max_visible,
             )
             return l1_loss(out["render"], gt)
 
@@ -125,21 +146,27 @@ def run_config(n_gaussians: int) -> dict:
 
     return {
         "n_gaussians": n_gaussians,
+        "visible": n_vis,
+        "max_visible": max_visible,
         "instances": total,
         "rows": rows,
         "capacity": max_instances,
         "fwd_bwd_ms": round(dt * 1e3, 2),
         "fps": round(1.0 / dt, 3),
         "compile_s": round(compile_s, 1),
+        "capture": capture,
     }
 
 
 def main():
-    ns = [int(float(a)) for a in sys.argv[1:]] or [
+    args = sys.argv[1:]
+    capture = "--capture" in args
+    args = [a for a in args if a != "--capture"]
+    ns = [int(float(a)) for a in args] or [
         100_000, 500_000, 1_000_000, 2_000_000, 5_000_000
     ]
     for n in ns:
-        r = run_config(n)
+        r = run_config(n, capture=capture)
         print(json.dumps(r), flush=True)
 
 

@@ -170,17 +170,34 @@ def main():
     results.append({"mode": "hybrid2x4", "step_ms": round(ms, 2),
                     "band_bucket": band_b})
 
-    lowered = step.lower(state, cam_b, gt_b, bg, lrs).compile()
-    audit = audit_hlo(lowered, "hybrid2x4")
+    # ---- hybrid 2x4 + band record compaction (round 4) ----
+    from sgs_tpu.parallel.hybrid import band_record_cap
+
+    # floor=512: the trainer's default 4096 floor would clamp to the
+    # toy pool's full capacity and compaction would be a no-op pad
+    rec_cap = band_record_cap(pool, cams, py_rng, 4, floor=512)
+    step_c = make_hybrid_train_step(
+        mesh, 1, WIDTH, HEIGHT, max_instances_per_band=band_b,
+        backend="xla", band_rec_cap=rec_cap,
+    )
+    ms_c = time_steps(step_c, state, cam_b, gt_b, bg, lrs)
+    results.append({"mode": "hybrid2x4_compact", "step_ms": round(ms_c, 2),
+                    "band_rec_cap": rec_cap})
+
+    lowered = step_c.lower(state, cam_b, gt_b, bg, lrs).compile()
+    audit = audit_hlo(lowered, "hybrid2x4_compact")
 
     for r in results:
         print(json.dumps(r))
     print(json.dumps(audit))
     dp_ms, hy_ms = results[0]["step_ms"], results[1]["step_ms"]
+    hyc_ms = results[2]["step_ms"]
     print(json.dumps({
         "per_camera_ms": {"dp8": round(dp_ms / 8, 2),
-                          "hybrid2x4": round(hy_ms / 2, 2)},
+                          "hybrid2x4": round(hy_ms / 2, 2),
+                          "hybrid2x4_compact": round(hyc_ms / 2, 2)},
         "hybrid_overhead_x": round((hy_ms / 2) / (dp_ms / 8), 2),
+        "hybrid_compact_overhead_x": round((hyc_ms / 2) / (dp_ms / 8), 2),
     }))
 
 

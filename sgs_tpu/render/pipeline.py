@@ -59,6 +59,7 @@ def render(
     backend: str = "xla",
     max_row_instances: Optional[int] = None,
     max_kernel_rows: Optional[int] = None,
+    max_visible: Optional[int] = None,
 ) -> dict:
     """mode: "reference" (O(N*P) oracle) or "tiled" (production binned
     rasterizer; max_instances is its static instance capacity, default
@@ -72,7 +73,12 @@ def render(
 
     max_kernel_rows (Pallas backend only) buckets the padded chunk-row
     layout below its analytic worst case (~2x the typical need); size it
-    with render.tiled.kernel_row_count (0/None = worst case)."""
+    with render.tiled.kernel_row_count (0/None = worst case).
+
+    max_visible compacts the binning inputs to the visible subset (size
+    with render.tiled.visible_count): the N-scale binning passes then
+    cost the visible count, not the pool capacity — the garden-scale
+    cut for pools where one frustum sees a fraction of N."""
     g = gaussians
     n = g.means3d.shape[0]
 
@@ -137,6 +143,7 @@ def render(
                 max_kernel_rows if backend == "pallas" and max_kernel_rows
                 else 0
             ),
+            max_visible=max_visible if max_visible else 0,
         )
     elif mode == "reference":
         overflow = jnp.int32(0)

@@ -147,6 +147,8 @@ def training(
     band_rows = 0
     band_krows = 0
     hy_balance = bool(getattr(pipe, "hy_balance", False))
+    hy_compact = bool(getattr(pipe, "hy_compact", True))
+    band_rec = 0  # band record-compaction cap (0 = compaction off)
     band_offsets = None  # balanced band boundaries (traced operand)
     band_pad = 0  # static per-band viewport tiles (0 = equal bands)
     if parallel == "dp":
@@ -285,13 +287,21 @@ def training(
                 band_bucket, band_rows, band_krows = (
                     bb if raster_tight else (bb, 0, 0)
                 )
+                if hy_compact:
+                    from sgs_tpu.parallel.hybrid import band_record_cap
+
+                    band_rec = band_record_cap(
+                        state.pool, train_cams, py_rng, hy_g,
+                        offsets=band_offsets,
+                    )
+                    print(f"hybrid band record cap: {band_rec}")
                 print(f"hybrid band instance bucket: {band_bucket}"
                       + (f" (tight; rows {band_rows}, kernel rows "
                          f"{band_krows})" if raster_tight else ""))
             w0 = cams_b[0].camera.image_width
             h0 = cams_b[0].camera.image_height
             key = (active_sh_degree, band_bucket, band_rows, band_krows,
-                   w0, h0, band_pad, iteration < opt.iterations)
+                   w0, h0, band_pad, band_rec, iteration < opt.iterations)
             if key not in dp_steps:
                 dp_steps[key] = make_hybrid_train_step(
                     mesh, active_sh_degree, w0, h0,
@@ -303,6 +313,7 @@ def training(
                     max_row_instances_per_band=band_rows,
                     max_kernel_rows_per_band=band_krows,
                     band_pad_tiles=band_pad,
+                    band_rec_cap=band_rec,
                 )
             state, metrics = dp_steps[key](
                 state, cam_batch, gt_batch, bg, lrs,

@@ -66,6 +66,11 @@ class PipelineParams:
     # of equal height (parallel/tile_shard.balanced_band_offsets) —
     # front-loaded scenes stop idling the chips that own empty bands
     hy_balance: bool = False
+    # hybrid mode: compact each band's gathered records to the
+    # ownership-culled subset before binning (parallel/hybrid.py
+    # _band_compact) — the N-scale expansion then runs at ~N/n_bands
+    # per band instead of full N. On by default; disable to A/B.
+    hy_compact: bool = True
     # tight (exact ellipse/tile) binning for the Pallas backend: culls
     # (Gaussian, tile) pairs whose alpha is < 1/255 everywhere in the
     # tile — identical images up to f32 summation order, ~35% fewer

@@ -244,3 +244,98 @@ def test_band_bucket_sample_sizes_tight_band_path():
     for i, cam in enumerate(cams):
         ref = render(cam, pool.render_inputs(1), bg, mode="tiled")["render"]
         np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=3e-5)
+
+
+def test_band_compact_render_and_train_parity():
+    """VERDICT r3 #8: band record compaction (each band bins only its
+    ownership-culled records, in a band_record_cap buffer) is exact —
+    same images as the single-chip render and same loss/grads as the
+    uncompacted hybrid step."""
+    import random
+
+    from sgs_tpu.models.gaussians import DensifyStats
+    from sgs_tpu.parallel.hybrid import band_record_cap, make_hybrid_train_step
+    from sgs_tpu.train.loop import TrainState
+    from sgs_tpu.train.optim import AdamState
+
+    width = height = 64
+    pool, cams, gts = make_setup(width, height)
+    mesh = make_mesh((2, 4), ("data", "gauss"))
+    bg = jnp.zeros(3)
+    py_rng = random.Random(0)
+
+    rec_cap = band_record_cap(pool, cams, py_rng, 4)
+    # bucket floor (4096) out-sizes the toy pool, so the cap clamps to
+    # capacity here; the shrink itself is measured in
+    # scripts/exp_hybrid_overhead.py at real scale
+    assert 0 < rec_cap <= pool.capacity
+
+    fn = make_hybrid_render(
+        mesh, width, height, 1, max_instances_per_band=8192,
+        band_rec_cap=rec_cap,
+    )
+    cam_batch = stack_cameras(cams)
+    params, alive, cam_b, gt_b = shard_hybrid(
+        pool.params(), pool.alive, cam_batch, jnp.asarray(gts), mesh
+    )
+    imgs = np.asarray(jax.jit(fn)(params, alive, cam_b, bg))
+    for i, cam in enumerate(cams):
+        ref = render(cam, pool.render_inputs(1), bg, mode="tiled")["render"]
+        np.testing.assert_allclose(imgs[i], np.asarray(ref), atol=3e-5)
+
+    state = TrainState(
+        pool=pool, adam=AdamState.init(pool.params()),
+        stats=DensifyStats.zeros(pool.capacity),
+    )
+    lrs = {k: 1e-3 for k in pool.params()}
+    step_ref = make_hybrid_train_step(
+        mesh, 1, width, height, max_instances_per_band=8192,
+        apply_update=True,
+    )
+    step_c = make_hybrid_train_step(
+        mesh, 1, width, height, max_instances_per_band=8192,
+        apply_update=True, band_rec_cap=rec_cap,
+    )
+    s1, m1 = step_ref(state, cam_b, gt_b, bg, lrs)
+    s2, m2 = step_c(state, cam_b, gt_b, bg, lrs)
+    assert int(m2["overflow"]) == 0
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for k in s1.pool.params():
+        np.testing.assert_allclose(
+            np.asarray(s1.pool.params()[k]), np.asarray(s2.pool.params()[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+    # densify stats (driven by the NDC tap through the compaction
+    # scatter's transpose) must survive compaction too
+    np.testing.assert_allclose(
+        np.asarray(s1.stats.xyz_gradient_accum),
+        np.asarray(s2.stats.xyz_gradient_accum), rtol=1e-4, atol=1e-8,
+    )
+
+
+def test_band_compact_overflow_reported():
+    """A deliberately-too-small record cap must flag overflow instead of
+    silently dropping splats."""
+    from sgs_tpu.models.gaussians import DensifyStats
+    from sgs_tpu.parallel.hybrid import make_hybrid_train_step
+    from sgs_tpu.train.loop import TrainState
+    from sgs_tpu.train.optim import AdamState
+
+    width = height = 64
+    pool, cams, gts = make_setup(width, height)
+    mesh = make_mesh((2, 4), ("data", "gauss"))
+    cam_batch = stack_cameras(cams)
+    params, alive, cam_b, gt_b = shard_hybrid(
+        pool.params(), pool.alive, cam_batch, jnp.asarray(gts), mesh
+    )
+    state = TrainState(
+        pool=pool, adam=AdamState.init(pool.params()),
+        stats=DensifyStats.zeros(pool.capacity),
+    )
+    lrs = {k: 1e-3 for k in pool.params()}
+    step = make_hybrid_train_step(
+        mesh, 1, width, height, max_instances_per_band=8192,
+        apply_update=False, band_rec_cap=8,
+    )
+    _, m = step(state, cam_b, gt_b, jnp.zeros(3), lrs)
+    assert int(m["overflow"]) > 0
