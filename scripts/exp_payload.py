@@ -58,6 +58,14 @@ def main():
     print(f"payload routes: N={N} R={R} M={M} lanes={lanes}")
 
     time_it("G8", lambda t, i: t[i], (table, gidx))
+    table16 = jnp.asarray(rng.normal(size=(N, 16)).astype(np.float32))
+    time_it("G16", lambda t, i: t[i], (table16, gidx))
+    # slots-scale: the pack gather shapes (R-row tables, M out rows)
+    sidx = jnp.asarray(rng.integers(0, R, size=M).astype(np.int32))
+    rtab8 = jnp.asarray(rng.normal(size=(R, 8)).astype(np.float32))
+    time_it("GS8(RxM)", lambda t, i: t[i], (rtab8, sidx))
+    rtab16 = jnp.asarray(rng.normal(size=(R, 16)).astype(np.float32))
+    time_it("GS16(RxM)", lambda t, i: t[i], (rtab16, sidx))
     t4a, t4b = table[:, :4], table[:, 4:]
     time_it(
         "G44",
