@@ -141,13 +141,18 @@ def _x_tile_interval(mx, my, ca, cb, cc, tau, ty, min_x, max_x, tiles_x):
     return jnp.where(nonempty, txlo, 0), jnp.where(nonempty, txhi, 0)
 
 
-# Split the payload/attr tables into two 8-lane halves once the R-scale
-# source table crosses the random-row-gather byte cliff:
-# scripts/exp_gather_model.py measured 22.4 ns/row from a 126 MB 16-lane
-# table vs 4.9 ns/row from each 63 MB 8-lane half — 2.3x for the same
-# bytes moved. Below the cliff one gather wins (two dispatches cost more
-# than the table discount). ~48 MB = 768k rows at 16 f32 lanes.
-SPLIT_ATTR_TABLE_ROWS = 768 * 1024
+# Split the payload/attr tables into two 8-lane halves above this many
+# R rows. Round-2's gather model measured a table-byte cliff (22.4
+# ns/row from a 126 MB 16-lane table vs 4.9 from each 63 MB half at 1M
+# out-rows) and round 3 split on it — but scripts/exp_payload.py
+# re-measured at the 5M production shapes (10-15M out-rows) and the
+# cliff does NOT reproduce there: one 16-lane gather beats the 8-lane
+# pair at BOTH table scales (120.8 vs 142.9 ms R-scale, 175.7 vs 208.3
+# slots-scale) because per-dispatch cost dominates. No production shape
+# tested benefits from splitting, so the threshold is parked at
+# infinity; the branch + its monkeypatched parity test stay as the
+# escape hatch if an intermediate regime ever shows the cliff again.
+SPLIT_ATTR_TABLE_ROWS = 1 << 62
 
 
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
