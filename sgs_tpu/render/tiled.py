@@ -566,12 +566,14 @@ def _attr_records(mean2d, conic, rgb, opacity, order, gi_sorted):
 
 # Above this many padded slots, the tight path's per-Gaussian gradient
 # reduction switches from the presort-contiguous pipeline to a direct
-# scatter-add keyed on the payload id lane: the presort pipeline's two
-# (slots, 8) random row gathers + permutation sort win at bench scale
-# (14 vs 35 ms at 2.6M slots, round 2) but the gathers grow ~linearly
-# with table bytes while the scatter does not (5M trace: 474 ms of
-# reduction gathers). Threshold set from the measured crossover.
-REDUCE_SCATTER_SLOTS = 6 * 1024 * 1024
+# scatter-add keyed on the payload id lane. Round 4 set this to 6M from
+# an EXTRAPOLATED 16 ns/row scatter cost — the 5M device re-trace
+# measured the scatter-add fusion at 1386 ms/frame (95 ns/slot-row,
+# 48% of the frame) vs ~574 ms for the presort pipeline it replaced:
+# XLA scatter-add into a 5M-row accumulator does NOT hold its small-
+# scale cost. Parked at infinity; the path + its parity test
+# (test_tight_scatter_reduction_matches) remain the escape hatch.
+REDUCE_SCATTER_SLOTS = 1 << 62
 
 
 def _chunk_pixels(tids, tiles_x):
