@@ -68,10 +68,15 @@ def run_config(n_gaussians: int, capture: bool = False) -> dict:
     fovx = math.radians(60)
     fovy = focal2fov(fov2focal(fovx, WIDTH), HEIGHT)
     if capture:
-        # camera just off-center inside the cloud: splats behind the
-        # eye and outside the 60-degree cone cull, like a real capture
+        # same viewing DISTANCE as the default (so per-splat footprint
+        # statistics are unchanged) but shifted sideways: ~half the
+        # cloud leaves the frustum, like a panning capture view. (A
+        # camera INSIDE the cloud was tried first and is a HARDER
+        # workload, not an easier one: nearby splats grow to huge
+        # footprints and the instance count rises 10% despite 27%
+        # visibility — see PERF_NOTES.)
         cam = Camera.from_Rt(
-            np.eye(3), np.array([0.0, 0.0, 0.9]), fovx, fovy, WIDTH, HEIGHT
+            np.eye(3), np.array([2.5, 0.0, 4.5]), fovx, fovy, WIDTH, HEIGHT
         )
     else:
         cam = Camera.from_Rt(
@@ -87,8 +92,9 @@ def run_config(n_gaussians: int, capture: bool = False) -> dict:
     valid = (proj["radius"] > 0) & pool.alive
     n_vis = int(jnp.sum(valid))
     # compaction only pays when the frustum actually culls; at ~full
-    # visibility the scatter is pure overhead
-    if n_vis < 0.9 * n_gaussians:
+    # visibility the scatter is pure overhead (--no_vis disables for
+    # A/B differential runs)
+    if n_vis < 0.9 * n_gaussians and "--no_vis" not in sys.argv:
         max_visible = -(-int(n_vis * 1.25) // 4096) * 4096
     else:
         max_visible = 0
@@ -161,7 +167,7 @@ def run_config(n_gaussians: int, capture: bool = False) -> dict:
 def main():
     args = sys.argv[1:]
     capture = "--capture" in args
-    args = [a for a in args if a != "--capture"]
+    args = [a for a in args if a not in ("--capture", "--no_vis")]
     ns = [int(float(a)) for a in args] or [
         100_000, 500_000, 1_000_000, 2_000_000, 5_000_000
     ]

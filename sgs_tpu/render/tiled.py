@@ -1132,20 +1132,29 @@ def _visible_compact(mean2d, depth, conic, rgb, opacity, radius, valid,
     indices), exact (dead slots carry valid=False), overflow-reported
     like every other static bucket."""
     i32 = jnp.int32
+    n = valid.shape[0]
     flag = valid & (radius > 0)
-    pos = jnp.cumsum(flag.astype(i32)) - 1
-    pos = jnp.where(flag, pos, max_visible)
-
-    def compact(x):
-        buf = jnp.zeros((max_visible,) + x.shape[1:], x.dtype)
-        return buf.at[pos].set(x, mode="drop")
-
+    # Sort-based compaction, NOT scatter-based: a stable 1-key sort on
+    # ~flag carries the source index (visible rows first, original
+    # order preserved), then everything moves by ROW GATHERS from the
+    # dense N-scale sources. The first formulation scattered each input
+    # into the compact buffer — six XLA scatters which the 5M re-trace
+    # prices at ~95 ns/row (the REDUCE_SCATTER lesson): ~2 s/frame.
+    # The sort is ~3 ns/key and the gathers ~7 ns/row at 5M shapes
+    # (scripts/exp_payload.py).
+    _, src = jax.lax.sort(
+        ((~flag).astype(i32), jnp.arange(n, dtype=i32)),
+        num_keys=1, is_stable=True,
+    )
+    src_c = src[:max_visible] if max_visible <= n else jnp.concatenate(
+        [src, jnp.zeros((max_visible - n,), i32)]
+    )
     nvis = jnp.sum(flag.astype(i32))
-    valid_c = jnp.arange(max_visible, dtype=i32) < nvis
+    valid_c = jnp.arange(max_visible, dtype=i32) < jnp.minimum(nvis, n)
     ovf = jnp.maximum(nvis - max_visible, 0)
     return (
-        compact(mean2d), compact(depth), compact(conic), compact(rgb),
-        compact(opacity), compact(radius), valid_c, ovf,
+        mean2d[src_c], depth[src_c], conic[src_c], rgb[src_c],
+        opacity[src_c], radius[src_c], valid_c, ovf,
     )
 
 
