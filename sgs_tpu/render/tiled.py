@@ -1152,9 +1152,24 @@ def _visible_compact(mean2d, depth, conic, rgb, opacity, radius, valid,
     nvis = jnp.sum(flag.astype(i32))
     valid_c = jnp.arange(max_visible, dtype=i32) < jnp.minimum(nvis, n)
     ovf = jnp.maximum(nvis - max_visible, 0)
+    # ONE 11-lane row gather, not six per-array gathers: the 1-lane
+    # arrays (depth/opacity/radius) would lower as SCALAR gathers
+    # (~18x slower, the round-1 lesson) — measured +600 ms/frame at 5M
+    # before this stacking.
+    f32 = jnp.float32
+    rec = jnp.concatenate(
+        [
+            mean2d.astype(f32), depth.astype(f32)[:, None],
+            conic.astype(f32), rgb.astype(f32),
+            opacity.astype(f32)[:, None],
+            radius.astype(f32)[:, None],
+        ],
+        axis=1,
+    )
+    rc = rec[src_c]
     return (
-        mean2d[src_c], depth[src_c], conic[src_c], rgb[src_c],
-        opacity[src_c], radius[src_c], valid_c, ovf,
+        rc[:, 0:2], rc[:, 2], rc[:, 3:6], rc[:, 6:9], rc[:, 9],
+        rc[:, 10].astype(radius.dtype), valid_c, ovf,
     )
 
 
