@@ -100,7 +100,7 @@ def main(argv=None):
 
     apply_platform_env()
     parser = ArgumentParser(description="Testing script parameters")
-    add_dataclass_args(parser, ModelParams, "Loading Parameters")
+    add_dataclass_args(parser, ModelParams, "Loading Parameters", sentinel=True)
     add_dataclass_args(parser, PipelineParams, "Pipeline Parameters")
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")

@@ -103,7 +103,13 @@ class OptimizationParams:
     _shorthands: dict = field(default_factory=dict)
 
 
-def add_dataclass_args(parser: ArgumentParser, cls, prefix_group: str) -> None:
+def add_dataclass_args(
+    parser: ArgumentParser, cls, prefix_group: str, sentinel: bool = False
+) -> None:
+    """sentinel=True mirrors the reference's ModelParams(parser,
+    sentinel=True) (arguments/__init__.py:30-46): every default becomes
+    None so values persisted in cfg_args survive the get_combined_args
+    merge unless the flag is explicitly passed on the command line."""
     group = parser.add_argument_group(prefix_group)
     shorthands = getattr(cls, "_shorthands", {}) or {}
     if not isinstance(shorthands, dict):
@@ -115,7 +121,7 @@ def add_dataclass_args(parser: ArgumentParser, cls, prefix_group: str) -> None:
         names = [flag]
         if f.name in shorthands:
             names.append(shorthands[f.name])
-        default = f.default
+        default = None if sentinel else f.default
         if f.type in (bool, "bool"):
             group.add_argument(*names, default=default, action="store_true")
         else:
@@ -129,7 +135,8 @@ def extract_dataclass(cls, args: Namespace):
     kwargs = {
         f.name: getattr(args, f.name)
         for f in fields(cls)
-        if not f.name.startswith("_") and hasattr(args, f.name)
+        if not f.name.startswith("_")
+        and getattr(args, f.name, None) is not None
     }
     obj = cls(**kwargs)
     if isinstance(obj, ModelParams) and obj.source_path:

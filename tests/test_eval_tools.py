@@ -57,6 +57,30 @@ def test_render_cli(trained_model):
     assert np.mean(np.abs(r - g)) < 60.0  # grossly sane
 
 
+def test_render_cli_cfg_args_only(trained_model):
+    """The sentinel merge (reference arguments/__init__.py:30-46,97-117):
+    render.py with ONLY -m must recover source_path/eval/white_background
+    from the persisted cfg_args instead of clobbering them with parser
+    defaults."""
+    src, model_path = trained_model
+    from argparse import ArgumentParser
+
+    from sgs_tpu.utils.config import (
+        ModelParams, add_dataclass_args, extract_dataclass,
+        get_combined_args,
+    )
+
+    parser = ArgumentParser()
+    add_dataclass_args(parser, ModelParams, "Loading", sentinel=True)
+    merged = get_combined_args(parser, ["-m", model_path])
+    dataset = extract_dataclass(ModelParams, merged)
+    assert dataset.source_path == os.path.abspath(src)
+    assert dataset.eval is True and dataset.white_background is True
+    # explicit CLI still overrides the persisted value
+    merged = get_combined_args(parser, ["-m", model_path, "-s", "/elsewhere"])
+    assert extract_dataclass(ModelParams, merged).source_path == "/elsewhere"
+
+
 def test_metrics_cli(trained_model):
     _, model_path = trained_model
     import metrics as metrics_cli
