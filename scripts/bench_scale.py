@@ -9,11 +9,12 @@ size for count) and reports instances, frame time, and fps per config.
 Usage: python scripts/bench_scale.py [--capture] [N ...]  (default sweep)
 Prints one JSON line per config.
 
---capture places the camera INSIDE the cloud looking outward (the
-garden-walkthrough geometry): a realistic fraction of the pool lands
-outside the frustum, and the run sizes a max_visible bucket
-(render/tiled.visible_count) so the binning pays visible count, not
-pool capacity. The default all-visible geometry is the worst case.
+--capture shifts the camera sideways at the same viewing distance (a
+panning capture view): ~half the pool lands outside the frustum, and
+the run sizes a max_visible bucket (render/tiled.visible_count) so the
+binning pays visible count, not pool capacity. The default all-visible
+geometry is the worst case. (A camera INSIDE the cloud is a HARDER
+workload, not easier — see PERF_NOTES.)
 """
 
 import json
