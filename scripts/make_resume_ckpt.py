@@ -12,7 +12,11 @@ spatial_lr_scale recomputed from the dataset's camera extent exactly as
 a fresh run would.
 
 Usage: python scripts/make_resume_ckpt.py <point_cloud.ply> <dataset_dir>
-       <iteration> <out.npz> [sh_degree=3]
+       <iteration> <out.npz> [sh_degree=3] [capacity=-1]
+
+capacity=-1 picks ceil(1.6*n) rounded to 4096; pass the original run's
+capacity explicitly to reuse its compile tuple (the remote compile
+service caches per (sh_degree, capacity, bucket) shape).
 """
 
 import os
@@ -28,6 +32,7 @@ def main():
     ply_path, source, iteration, out = sys.argv[1:5]
     iteration = int(iteration)
     sh_degree = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    capacity_arg = int(sys.argv[6]) if len(sys.argv) > 6 else -1
 
     import jax
 
@@ -43,7 +48,9 @@ def main():
 
     arrays = load_gaussian_ply(ply_path, sh_degree)
     n = arrays["xyz"].shape[0]
-    capacity = -(-int(n * 1.6) // 4096) * 4096
+    capacity = capacity_arg if capacity_arg > 0 else -(-int(n * 1.6) // 4096) * 4096
+    if capacity < n:
+        raise SystemExit(f"capacity {capacity} < n {n}")
     pool = pool_from_arrays(arrays, sh_degree, capacity=capacity)
     print(f"# {n} gaussians -> capacity {capacity}", file=sys.stderr)
 
