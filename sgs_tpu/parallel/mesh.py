@@ -46,7 +46,15 @@ def make_hybrid_mesh(axis_names: Sequence[str] = ("data", "gauss")) -> Mesh:
     local = jax.local_device_count()
     if n_hosts == 1:
         return make_mesh((1, local), axis_names)
+    # Granule choice: create_hybrid_device_mesh defaults to grouping by
+    # TPU slice_index, but multi-host-single-slice topologies (a v5e pod
+    # spans hosts within ONE slice) and CPU processes have fewer slices
+    # than processes — group by process instead so the DCN axis always
+    # matches process_count (found by the real 2-process run in
+    # scripts/multihost_smoke.py; the mocked-process unit test hid it).
+    slices = {getattr(d, "slice_index", 0) for d in jax.devices()}
     dev = create_hybrid_device_mesh(
-        mesh_shape=(1, local), dcn_mesh_shape=(n_hosts, 1)
+        mesh_shape=(1, local), dcn_mesh_shape=(n_hosts, 1),
+        process_is_granule=len(slices) < n_hosts,
     )
     return Mesh(dev, axis_names)
