@@ -19,7 +19,12 @@ falls back to the synthetic scene so a number is ALWAYS recorded. The
 metric name is stable across rounds; the scene is reported in a separate
 "scene" field.
 
-Prints exactly ONE JSON line on stdout:
+Prints the headline JSON line on stdout, then (unless --headline_only or
+the scale run fails) a SECOND JSON line for the BASELINE configs[2]
+garden-scale workload — 5M Gaussians @1080p, panning-capture geometry
+with visibility compaction (scripts/bench_scale.py --capture) — so the
+driver's BENCH record captures the target workload every round
+(VERDICT r4 weak #6):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "scene": ...}
 """
 
@@ -253,8 +258,38 @@ def main():
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
                 "scene": scene,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if "--headline_only" in sys.argv[1:]:
+        return
+    try:
+        import os
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scripts"),
+        )
+        import bench_scale
+
+        r = _retry("5M garden scale",
+                   lambda: bench_scale.run_config(5_000_000, capture=True))
+        print(
+            json.dumps(
+                {
+                    "metric": "garden5m_1080p_fwd_bwd_frames_per_sec_per_chip",
+                    "value": r["fps"],
+                    "unit": "frames/s",
+                    "vs_baseline": round(r["fps"] / BASELINE_FPS, 4),
+                    "scene": "synthetic_5m_panning_capture",
+                }
+            ),
+            flush=True,
+        )
+    except Exception:  # noqa: BLE001 — the headline line is already out
+        _log("# 5M scale line failed (headline already recorded):\n"
+             + traceback.format_exc())
 
 
 if __name__ == "__main__":

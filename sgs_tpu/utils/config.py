@@ -11,7 +11,7 @@ plus the cfg_args persist/merge round trip used by render-time tools
 from __future__ import annotations
 
 import os
-from argparse import ArgumentParser, Namespace
+from argparse import ArgumentParser, BooleanOptionalAction, Namespace
 from dataclasses import dataclass, field, fields
 
 
@@ -109,7 +109,14 @@ def add_dataclass_args(
     """sentinel=True mirrors the reference's ModelParams(parser,
     sentinel=True) (arguments/__init__.py:30-46): every default becomes
     None so values persisted in cfg_args survive the get_combined_args
-    merge unless the flag is explicitly passed on the command line."""
+    merge unless the flag is explicitly passed on the command line.
+
+    Bools register as --flag/--no-flag (BooleanOptionalAction) rather
+    than the reference's store_true: with store_true a bool persisted as
+    True in cfg_args (e.g. eval, white_background) could never be
+    overridden to False at render time, and a True-default bool could
+    never be disabled at all (ADVICE r4). Positive flags and shorthands
+    (-w) behave exactly as before; --no-<flag> is additive."""
     group = parser.add_argument_group(prefix_group)
     shorthands = getattr(cls, "_shorthands", {}) or {}
     if not isinstance(shorthands, dict):
@@ -123,7 +130,9 @@ def add_dataclass_args(
             names.append(shorthands[f.name])
         default = None if sentinel else f.default
         if f.type in (bool, "bool"):
-            group.add_argument(*names, default=default, action="store_true")
+            group.add_argument(
+                *names, default=default, action=BooleanOptionalAction
+            )
         else:
             t = {"int": int, "float": float, "str": str}.get(f.type, f.type)
             if isinstance(t, str):
@@ -132,6 +141,11 @@ def add_dataclass_args(
 
 
 def extract_dataclass(cls, args: Namespace):
+    # None means "not specified" (sentinel parsers / cfg_args merge) and
+    # falls back to the dataclass default. This is only sound while no
+    # dataclass field has a None DEFAULT with distinct meaning —
+    # tests/test_eval_tools.py::test_no_none_dataclass_defaults pins that
+    # invariant (ADVICE r4).
     kwargs = {
         f.name: getattr(args, f.name)
         for f in fields(cls)

@@ -199,3 +199,55 @@ def test_full_eval_metrics_only(trained_model, tmp_path, monkeypatch):
     assert sum("bicycle" in c or "truck" in c or "playroom" in c
                for c in calls[0]) >= 3
     assert len(calls[0]) == 3 + 13  # python metrics.py -m + 13 scene dirs
+
+
+def test_no_none_dataclass_defaults():
+    """extract_dataclass treats None as 'not specified' (the sentinel /
+    cfg_args merge contract) and silently falls back to the dataclass
+    default — sound only while no field has a None DEFAULT with its own
+    meaning. Pin that invariant (ADVICE r4)."""
+    from dataclasses import fields
+
+    from sgs_tpu.utils.config import (
+        ModelParams,
+        OptimizationParams,
+        PipelineParams,
+    )
+
+    for cls in (ModelParams, OptimizationParams, PipelineParams):
+        for f in fields(cls):
+            if f.name.startswith("_"):
+                continue
+            assert f.default is not None, (
+                f"{cls.__name__}.{f.name} defaults to None — give "
+                "extract_dataclass an explicit MISSING marker first"
+            )
+
+
+def test_bool_flags_expressible_false(trained_model):
+    """--no-<flag> overrides a True persisted in cfg_args (ADVICE r4:
+    store_true sentinels made False unreachable from the render CLI)."""
+    from argparse import ArgumentParser
+
+    from sgs_tpu.utils.config import (
+        ModelParams,
+        add_dataclass_args,
+        extract_dataclass,
+        get_combined_args,
+    )
+
+    _, model_path = trained_model  # cfg_args has eval=True
+    parser = ArgumentParser()
+    add_dataclass_args(parser, ModelParams, "Loading", sentinel=True)
+    merged = get_combined_args(parser, ["--model_path", model_path])
+    assert extract_dataclass(ModelParams, merged).eval is True
+    merged = get_combined_args(
+        parser, ["--model_path", model_path, "--no-eval"]
+    )
+    assert extract_dataclass(ModelParams, merged).eval is False
+    # positive flags and shorthands unchanged
+    merged = get_combined_args(
+        parser, ["--model_path", model_path, "-w", "--eval"]
+    )
+    got = extract_dataclass(ModelParams, merged)
+    assert got.eval is True and got.white_background is True

@@ -263,6 +263,10 @@ def test_split_payload_matches_single_table(monkeypatch):
 
     img_one, ovf_one, g_one = run()
     monkeypatch.setattr(tiled_mod, "SPLIT_ATTR_TABLE_ROWS", 0)
+    # rasterize_tiled is jitted at def site and closes over the module
+    # global: without a cache clear the patched threshold would never
+    # retrace and this test would compare a cached trace to itself
+    jax.clear_caches()
     img_two, ovf_two, g_two = run()
     assert ovf_one == ovf_two == 0
     np.testing.assert_array_equal(img_two, img_one)
@@ -330,3 +334,53 @@ def test_visible_compaction_matches_and_overflows():
         )
     )()
     assert int(ovf_small) > 0
+
+
+def test_two_gather_cull_matches_merged(monkeypatch):
+    """The two-gather culling dispatch (chosen at or below
+    TWO_GATHER_MAX_ROWS — the 100k/bench regime) and the merged-payload
+    derivation (garden regime) must agree BIT-identically: same
+    formulas, same inputs, different data flow (N-scale precompute +
+    8-lane cull gather vs R-scale elementwise rederivation)."""
+    import sgs_tpu.render.tiled as tiled_mod
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(11)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    mi = -(-ti // 256) * 256 + 256
+
+    def run():
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=mi, backend="pallas", max_row_instances=rc,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        ct = jnp.asarray(
+            np.random.default_rng(5).standard_normal((3, h, w))
+            .astype(np.float32)
+        )
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return np.asarray(img), int(ovf), [np.asarray(g) for g in vjp_fn(ct)]
+
+    # counts must also agree across the dispatch (pre-passes size buckets)
+    img_two, ovf_two, g_two = run()
+    monkeypatch.setattr(tiled_mod, "TWO_GATHER_MAX_ROWS", 0)
+    jax.clear_caches()  # jitted def-site closures; see split test above
+    ti_merged = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    assert ti_merged == ti
+    img_one, ovf_one, g_one = run()
+    assert ovf_one == ovf_two == 0
+    np.testing.assert_array_equal(img_two, img_one)
+    for ga, gb in zip(g_one, g_two):
+        np.testing.assert_array_equal(gb, ga)
