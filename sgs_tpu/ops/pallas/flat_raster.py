@@ -815,7 +815,6 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
     """
     m = slot_of_inst.shape[0]
     r_cap = offs2.shape[0] - 1
-    gpr = 128 // GREC  # grad records per 128-lane packed row
 
     # rank ranges are CONSECUTIVE in presort order (rows are emitted
     # rank-major and offs2 is their CSR cumsum), so ends[j] ==
@@ -828,7 +827,9 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
     bounds = offs2[jnp.minimum(bounds_rows, r_cap)]  # (n+1,)
 
     def seg_sum(padgrad):
-        g = padgrad[slot_of_inst]  # (m, GREC) rows, presort order
+        grec = padgrad.shape[1]  # 8 (split halves) or 16 (single table)
+        gpr = 128 // grec  # grad records per 128-lane packed row
+        g = padgrad[slot_of_inst]  # (m, grec) rows, presort order
         # barrier pins the gather output to a real row-major buffer so
         # the lane-pack reshape below is a bitcast, not a layout copy
         # (device-traced 0.7 ms otherwise)
@@ -848,14 +849,14 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
         else:
             cs = jnp.cumsum(rows, axis=0)
 
-        def prefix_at(pos):  # (k,) -> (k, GREC) exclusive prefix of g
+        def prefix_at(pos):  # (k,) -> (k, grec) exclusive prefix of g
             r = pos // gpr
             k = pos % gpr
             nz = (r > 0)[:, None]
             a_prev = jnp.where(
                 nz, cs[jnp.maximum(r - 1, 0)], 0.0
-            ).reshape(-1, gpr, GREC)
-            a_cur = cs[jnp.minimum(r, m // gpr - 1)].reshape(-1, gpr, GREC)
+            ).reshape(-1, gpr, grec)
+            a_cur = cs[jnp.minimum(r, m // gpr - 1)].reshape(-1, gpr, grec)
             full = jnp.sum(a_prev, axis=1)
             within = jnp.where(
                 jnp.arange(gpr)[None, :, None] < k[:, None, None],
@@ -866,8 +867,11 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
         p = prefix_at(bounds)  # (n+1, GREC)
         return p[1:] - p[:-1]  # (n, GREC), rank order
 
-    seg_a = seg_sum(padgrads[0])
-    seg_b = seg_sum(padgrads[1])
+    if len(padgrads) == 1:
+        seg = seg_sum(padgrads[0])  # (n, GRECT), 9 live lanes
+    else:
+        seg_a = seg_sum(padgrads[0])
+        seg_b = seg_sum(padgrads[1])
     # rank -> original order WITHOUT the (n, 9) scatter: out[order[j]] =
     # seg[j] is a 36 B-row random scatter (device-traced 524 ms at 5M
     # Gaussians — the single hottest op of the garden config). Invert
@@ -878,6 +882,8 @@ def reduce_grads_presort(padgrads, slot_of_inst, rank_rows, offs2, order, n):
     inv = jax.lax.sort(
         (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )[1]  # inv[g] = depth rank of gaussian g
+    if len(padgrads) == 1:
+        return seg[inv][:, :9]
     return jnp.concatenate(
         [seg_a[inv][:, :8], seg_b[inv][:, :1]], axis=1
     )
@@ -895,10 +901,13 @@ def reduce_grads(padgrads, windows, n):
     carry key >= n and drop. windows holds ORIGINAL gaussian ids (no
     inverse-permutation pass needed).
     """
-    pad_a, pad_b = padgrads
-    slots = pad_a.shape[0]
+    if len(padgrads) == 1:
+        padgrad = padgrads[0][:, :9]
+    else:
+        pad_a, pad_b = padgrads
+        padgrad = jnp.concatenate([pad_a[:, :8], pad_b[:, :1]], axis=1)
+    slots = padgrad.shape[0]
     keys = windows.reshape(slots)
-    padgrad = jnp.concatenate([pad_a[:, :8], pad_b[:, :1]], axis=1)
     vals = jnp.where((keys < n)[:, None], padgrad, 0.0)
     return jax.ops.segment_sum(
         vals, jnp.minimum(keys, n - 1), num_segments=n

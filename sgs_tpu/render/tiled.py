@@ -166,6 +166,30 @@ SPLIT_ATTR_TABLE_ROWS = 1 << 62
 # both sides (same formulas, same inputs).
 TWO_GATHER_MAX_ROWS = 768 * 1024
 
+# Attribute-payload table width. 11 lanes carry data (mx,my,ca,cb,cc,
+# op,r,g,b,radius,id); 16 was the kernel-operand REC. Narrowing the
+# GATHER tables to 12 (16-byte rows) cuts the random bytes of the two
+# biggest gather groups (R-scale ranked payload, slots-scale pack) 25%
+# — the kernel operand stays (REC, slots) via a zero-row concat AFTER
+# the transpose. Parity-exact (pure layout). Default stays 16 until the
+# on-device A/B (scripts/exp_prodgap.py) lands a number.
+PAYLOAD_LANES = 16
+
+# Fence the slots-scale pack gather from the kernel-operand transpose:
+# tests the "folded transpose makes production gathers ~2x their
+# isolated cost" hypothesis from the round-4 5M trace (PERF_NOTES "The
+# floor, honestly"). Measured on-device before changing the default.
+PACK_BARRIER = False
+
+# Reduce per-slot gradients through ONE (slots, GRECT) buffer (one
+# gather + one cumsum chain with 9/16 live lanes) instead of two
+# (slots, 8) halves (two gathers + two cumsum chains with 9/16 live
+# lanes total): exp_payload r4 measured per-dispatch fixed cost
+# dominating at 10M rows (G8 beats G44), so fewer dispatches should win
+# at garden scale; the round-2 byte-cliff said the opposite at 2M rows.
+# Measured on-device at both scales before changing the default.
+GRAD_SINGLE_TABLE = False
+
 
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
                  width, height, max_row_instances, rgb=None):
@@ -255,8 +279,9 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
         # discount at this size (exp_gather_model; restored round 4
         # after the always-split merged payload regressed the 100k
         # bench 13.1 -> 10.6 fps)
+        lanes = max(PAYLOAD_LANES, len(cols))
         attr_n = jnp.stack(
-            cols + [jnp.zeros((n,), f32)] * (16 - len(cols)), axis=1
+            cols + [jnp.zeros((n,), f32)] * (lanes - len(cols)), axis=1
         )
         pl = attr_n[gidx]  # (R, 16) — THE merged payload gather
         payload = (pl,)
@@ -690,7 +715,8 @@ def _forward_pallas(
         # opacity 0, id lane (10) = n.
         n_g = mean2d.shape[0]
         if len(payload) == 1:
-            sent = jnp.zeros((1, 16), f32).at[0, 10].set(float(n_g))
+            lanes = payload[0].shape[1]
+            sent = jnp.zeros((1, lanes), f32).at[0, 10].set(float(n_g))
             tab = jnp.concatenate([payload[0], sent])
             packed = tab[rowid_padded]
         else:
@@ -723,8 +749,23 @@ def _forward_pallas(
         overflow = overflow + jnp.maximum(rows_used - max_rows, 0) * fr.CHUNK
     interpret = jax.default_backend() == "cpu"
     # transposed (REC, slots) kernel operand: compact under the Pallas
-    # {1,0} layout (a (slots, 16) operand would be lane-padded 8x)
+    # {1,0} layout (a (slots, 16) operand would be lane-padded 8x).
+    # PACK_BARRIER pins the pack gather to its own row-major buffer
+    # before the transpose; narrow payloads pad back to REC with a
+    # zero-row concat AFTER transposing (the gather then moves
+    # PAYLOAD_LANES-wide rows, not REC-wide).
+    if PACK_BARRIER:
+        packed = jax.lax.optimization_barrier(packed)
     packed_t = jnp.transpose(packed)
+    if packed_t.shape[0] < fr.REC:
+        packed_t = jnp.concatenate(
+            [
+                packed_t,
+                jnp.zeros(
+                    (fr.REC - packed_t.shape[0], packed_t.shape[1]), f32
+                ),
+            ]
+        )
     colors, t_final, last_contrib = fr.forward_flat(
         packed_t, crs, nch, num_tiles, tiles_x, interpret=interpret,
     )
@@ -876,18 +917,25 @@ def _backward_pallas_host(
         packed_t, crs, nch, bg, aux_rows, tiles_x,
         num_tiles, interpret=interpret,
     )
-    # split (slots, 8) halves for the fast (<=8-lane-row) reduction
-    # gathers; compact-to-compact XLA transposes
+    # reduction gather buffers; compact-to-compact XLA transposes.
     # optimization_barrier pins the transposes to a real row-major
-    # (slots, 8) materialization: without it XLA may assign the {0,1}
-    # (column-major) layout and the reduction's row gathers then read 8
-    # scattered words per row (device-traced 3x slower)
-    padgrads = jax.lax.optimization_barrier(
-        (
-            jnp.transpose(grads_t[0:8]),  # mx,my,ca,cb,cc,op,r,g
-            jnp.transpose(grads_t[8:16]),  # b, zeros
+    # materialization: without it XLA may assign the {0,1}
+    # (column-major) layout and the reduction's row gathers then read
+    # scattered words per row (device-traced 3x slower).
+    if GRAD_SINGLE_TABLE:
+        # ONE (slots, 16) buffer: one gather + one cumsum chain with
+        # 9/16 live lanes (see flag comment)
+        padgrads = (
+            jax.lax.optimization_barrier(jnp.transpose(grads_t)),
         )
-    )
+    else:
+        # split (slots, 8) halves for the <=8-lane-row gather regime
+        padgrads = jax.lax.optimization_barrier(
+            (
+                jnp.transpose(grads_t[0:8]),  # mx,my,ca,cb,cc,op,r,g
+                jnp.transpose(grads_t[8:16]),  # b, zeros
+            )
+        )
     tight = built.get("tight")
     if tight is not None and slots > REDUCE_SCATTER_SLOTS:
         # garden-scale regime: the presort reduction's two (slots, 8)

@@ -384,3 +384,59 @@ def test_two_gather_cull_matches_merged(monkeypatch):
     np.testing.assert_array_equal(img_two, img_one)
     for ga, gb in zip(g_one, g_two):
         np.testing.assert_array_equal(gb, ga)
+
+
+@pytest.mark.parametrize(
+    "flag,value",
+    [
+        ("PAYLOAD_LANES", 12),
+        ("PACK_BARRIER", True),
+        ("GRAD_SINGLE_TABLE", True),
+    ],
+)
+def test_perf_flag_variants_match_default(monkeypatch, flag, value):
+    """The device-measurable layout flags (narrow payload tables, pack
+    barrier, single grad-reduction buffer) are pure data-layout changes:
+    images AND grads must match the default path bit-for-bit."""
+    import sgs_tpu.render.tiled as tiled_mod
+
+    mean2d, depth, conic, rgb, opac, radius, valid, bg, w, h = _random_scene(17)
+    rc = int(row_count(mean2d, radius, valid, w, h)) + 16
+    ti = int(
+        instance_count_tight(
+            mean2d, conic, opac, depth, radius, valid, w, h, rc
+        )
+    )
+    mi = -(-ti // 256) * 256 + 256
+
+    def run():
+        def f(m2, cn, rg, op, b):
+            img, ovf = rasterize_tiled(
+                m2, depth, cn, rg, op, radius, valid, b, w, h,
+                max_instances=mi, backend="pallas", max_row_instances=rc,
+            )
+            return img, ovf
+
+        img, ovf = f(mean2d, conic, rgb, opac, bg)
+        ct = jnp.asarray(
+            np.random.default_rng(3).standard_normal((3, h, w))
+            .astype(np.float32)
+        )
+        _, vjp_fn = jax.vjp(lambda *a: f(*a)[0], mean2d, conic, rgb, opac, bg)
+        return np.asarray(img), int(ovf), [np.asarray(g) for g in vjp_fn(ct)]
+
+    img_def, ovf_def, g_def = run()
+    monkeypatch.setattr(tiled_mod, flag, value)
+    jax.clear_caches()
+    img_var, ovf_var, g_var = run()
+    assert ovf_def == ovf_var == 0
+    np.testing.assert_array_equal(img_var, img_def)
+    for ga, gb in zip(g_def, g_var):
+        if flag == "GRAD_SINGLE_TABLE":
+            # the single-buffer reduction lane-packs 8 records per
+            # 128-lane row instead of 16: a different f32 addition tree,
+            # so grads match to summation-order noise, not bit-exact
+            scale = max(np.abs(ga).max(), 1.0)
+            np.testing.assert_allclose(gb, ga, atol=2e-6 * scale, rtol=0)
+        else:
+            np.testing.assert_array_equal(gb, ga)
