@@ -52,62 +52,46 @@ def test_band_height():
     assert band_height(1080, 8) == 144  # 68 tile rows -> 9 per device
 
 
-def test_sharded_render_matches_single_device():
+def test_sharded_render_and_gradients_match_single_device():
+    """Image, parameter gradients AND the screen-space (densification)
+    tap gradient of the gauss-sharded banded renderer vs the
+    single-device path — asserted from ONE compiled value_and_grad
+    graph (merged from three separate tests in r5: each compiled its
+    own shard_map pipeline on the virtual CPU mesh, ~305 s of the fast
+    suite for the same math)."""
     pool, cam = make_setup()
     mesh = make_mesh((8,), ("gauss",))
     bg = jnp.asarray([0.2, 0.5, 0.7], jnp.float32)
-    fn = make_sharded_render(mesh, 64, 64, 1, max_instances_per_band=8192)
-    img_sh = fn(pool.params(), pool.alive, cam, bg)
-    ref = render(
-        cam, pool.render_inputs(1), bg, mode="tiled"
-    )["render"]
-    np.testing.assert_allclose(np.asarray(img_sh), np.asarray(ref), atol=3e-5)
-
-
-def test_sharded_gradients_match_single_device():
-    pool, cam = make_setup()
-    mesh = make_mesh((8,), ("gauss",))
-    bg = jnp.zeros(3)
     target = np.random.default_rng(3).uniform(size=(3, 64, 64)).astype(np.float32)
     fn = make_sharded_render(mesh, 64, 64, 1, max_instances_per_band=8192)
+    tap0 = jnp.zeros((pool.capacity, 3), jnp.float32)
 
-    def loss_sh(params):
-        img = fn(params, pool.alive, cam, bg)
-        return jnp.mean(jnp.abs(img - target))
+    def loss_sh(params, tap):
+        img = fn(params, pool.alive, cam, bg, tap)
+        return jnp.mean(jnp.abs(img - target)), img
 
-    def loss_ref(params):
+    def loss_ref(params, tap):
         p = pool.with_params(params)
-        out = render(cam, p.render_inputs(1), bg, mode="tiled")
-        return jnp.mean(jnp.abs(out["render"] - target))
+        out = render(
+            cam, p.render_inputs(1), bg, mode="tiled", vspace_tap=tap
+        )
+        return jnp.mean(jnp.abs(out["render"] - target)), out["render"]
 
-    g_sh = jax.grad(loss_sh)(pool.params())
-    g_ref = jax.grad(loss_ref)(pool.params())
+    (_, img_sh), (g_sh, gt_sh) = jax.value_and_grad(
+        loss_sh, argnums=(0, 1), has_aux=True
+    )(pool.params(), tap0)
+    (_, img_ref), (g_ref, gt_ref) = jax.value_and_grad(
+        loss_ref, argnums=(0, 1), has_aux=True
+    )(pool.params(), tap0)
+
+    np.testing.assert_allclose(
+        np.asarray(img_sh), np.asarray(img_ref), atol=3e-5
+    )
     for k in g_ref:
         np.testing.assert_allclose(
             np.asarray(g_sh[k]), np.asarray(g_ref[k]), rtol=2e-3, atol=3e-6,
         )
-
-
-def test_sharded_tap_gradient():
-    """Screen-space (densification) gradient through the sharded path."""
-    pool, cam = make_setup()
-    mesh = make_mesh((8,), ("gauss",))
-    bg = jnp.zeros(3)
-    target = np.random.default_rng(5).uniform(size=(3, 64, 64)).astype(np.float32)
-    fn = make_sharded_render(mesh, 64, 64, 1, max_instances_per_band=8192)
-
-    def loss_tap(tap):
-        img = fn(pool.params(), pool.alive, cam, bg, tap)
-        return jnp.mean(jnp.abs(img - target))
-
-    tap0 = jnp.zeros((pool.capacity, 3), jnp.float32)
-    g_tap = jax.grad(loss_tap)(tap0)
-
-    def loss_ref(tap):
-        out = render(cam, pool.render_inputs(1), bg, mode="tiled", vspace_tap=tap)
-        return jnp.mean(jnp.abs(out["render"] - target))
-
-    g_ref = jax.grad(loss_ref)(tap0)
     np.testing.assert_allclose(
-        np.asarray(g_tap[:, :2]), np.asarray(g_ref[:, :2]), rtol=2e-3, atol=3e-6
+        np.asarray(gt_sh[:, :2]), np.asarray(gt_ref[:, :2]),
+        rtol=2e-3, atol=3e-6,
     )
