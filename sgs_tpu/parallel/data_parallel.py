@@ -136,6 +136,13 @@ def make_dp_train_step(
         param_grads, loss, ll1, accum, denom, maxrad, overflow = sharded(
             params, pool.alive, cam_batch, gt_batch, bg, tap_b
         )
+        # non-finite gradient guard (see train/loop.py train_step)
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(param_grads)
+        )
+        param_grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), param_grads
+        )
         if freeze_xyz:
             param_grads = {
                 **param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])
@@ -154,7 +161,8 @@ def make_dp_train_step(
         new_state = TrainState(
             pool=pool.with_params(new_params), adam=new_adam, stats=new_stats
         )
-        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow}
+        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow,
+                           "nonfinite_grads": nonfinite}
 
     return step
 

@@ -568,6 +568,14 @@ def make_hybrid_train_step(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, tap0)
         param_grads, tap_grads = grads
+        # non-finite gradient guard (see train/loop.py train_step)
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(param_grads)
+        ) + jnp.sum(~jnp.isfinite(tap_grads))
+        param_grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), param_grads
+        )
+        tap_grads = jnp.where(jnp.isfinite(tap_grads), tap_grads, 0.0)
         if freeze_xyz:
             param_grads = {
                 **param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])
@@ -590,7 +598,8 @@ def make_hybrid_train_step(
         new_state = TrainState(
             pool=pool.with_params(new_params), adam=new_adam, stats=new_stats
         )
-        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow}
+        return new_state, {"loss": loss, "l1": ll1, "overflow": overflow,
+                           "nonfinite_grads": nonfinite}
 
     return step
 

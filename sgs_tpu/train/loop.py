@@ -81,6 +81,23 @@ def train_step(
         )
     )
 
+    # Non-finite gradient guard (round-5 post-mortem): one degenerate
+    # splat (f32 overflow in the near-singular covariance chain) poisoned
+    # a single backward at flagship iteration 13084 and the NaNs then
+    # propagated through Adam into EVERY alive parameter within a step —
+    # an unrecoverable collapse the loss value itself never showed
+    # (masked compositing keeps the IMAGE finite). Zero the offending
+    # gradient elements and surface the count as a metric; identity for
+    # healthy steps, and a single bad view then costs one partial update
+    # instead of the whole model.
+    nonfinite = sum(
+        jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(param_grads)
+    ) + jnp.sum(~jnp.isfinite(tap_grad))
+    param_grads = jax.tree.map(
+        lambda g: jnp.where(jnp.isfinite(g), g, 0.0), param_grads
+    )
+    tap_grad = jnp.where(jnp.isfinite(tap_grad), tap_grad, 0.0)
+
     if freeze_xyz:
         param_grads = {**param_grads, "xyz": jnp.zeros_like(param_grads["xyz"])}
 
@@ -99,6 +116,7 @@ def train_step(
         "l1": ll1,
         "n_visible": jnp.sum(visibility),
         "overflow": overflow,
+        "nonfinite_grads": nonfinite,
     }
     return TrainState(pool=new_pool, adam=new_adam, stats=new_stats), metrics
 

@@ -341,6 +341,16 @@ def training(
         loss_val = float(metrics["loss"])
         ema_loss = 0.4 * loss_val + 0.6 * ema_loss
 
+        nfg = int(metrics.get("nonfinite_grads", 0))
+        if nfg:
+            print(
+                f"\n[ITER {iteration}] WARNING: {nfg} non-finite gradient "
+                "elements zeroed this step (degenerate splat geometry; "
+                "see train_step guard)"
+            )
+            if tb is not None:
+                tb.add_scalar("raster/nonfinite_grads", nfg, iteration)
+
         # Overflow recovery: the step just rendered with truncated deepest
         # tiles. Warn, then regrow the bucket so subsequent views are exact
         # (the overflow count bounds the needed capacity from below).

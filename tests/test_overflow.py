@@ -7,6 +7,7 @@ render/pipeline.py and views deeper than the bucket silently truncated.
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -117,3 +118,56 @@ def test_trainer_recovers_from_overflow(tmp_path, monkeypatch, capsys):
     assert "instance overflow" in out
     # the regrown bucket must stop further overflow: exactly one warning
     assert out.count("instance overflow") == 1
+
+
+def test_train_step_guards_nonfinite_grads():
+    """A view whose backward produces non-finite gradients (here: NaN in
+    the GT image poisons every grad) must not poison the parameters —
+    the guard zeroes the bad elements, reports the count, and the step
+    completes with finite state (round-5 flagship post-mortem: one
+    degenerate splat NaN'd every alive parameter in one step)."""
+    from sgs_tpu.models.gaussians import DensifyStats, GaussianPool, PARAM_FIELDS
+    from sgs_tpu.train.loop import TrainState, train_step
+    from sgs_tpu.train.optim import AdamState
+
+    n = 64
+    rng = np.random.default_rng(2)
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(2, 6, n)],
+        axis=-1,
+    ).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    def fresh_state():  # train_step donates its input buffers
+        pool = GaussianPool.from_pcd(
+            pts, cols, 0, capacity=n,
+            knn_dist2=np.full((n,), 0.01, np.float32),
+        )
+        return pool, TrainState(
+            pool=pool, adam=AdamState.init(pool.params()),
+            stats=DensifyStats.zeros(n),
+        )
+
+    cam = _camera(48, 48)
+    pool, state = fresh_state()
+    lrs = {k: jnp.float32(1e-3) for k in PARAM_FIELDS}
+
+    gt_nan = jnp.full((3, 48, 48), jnp.nan, jnp.float32)
+    new_state, metrics = train_step(
+        state, cam, gt_nan, jnp.zeros(3), lrs, active_sh_degree=0,
+        mode="tiled", max_instances=4096,
+    )
+    assert int(metrics["nonfinite_grads"]) > 0
+    for leaf in jax.tree.leaves(new_state.pool.params()):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "guard leaked non-finite"
+    for leaf in jax.tree.leaves(new_state.stats):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "stats leaked non-finite"
+
+    # healthy step: guard is identity and reports zero
+    _, state2 = fresh_state()
+    gt = jnp.zeros((3, 48, 48), jnp.float32)
+    _, m2 = train_step(
+        state2, cam, gt, jnp.zeros(3), lrs, active_sh_degree=0,
+        mode="tiled", max_instances=4096,
+    )
+    assert int(m2["nonfinite_grads"]) == 0
