@@ -49,6 +49,10 @@ def make_lgm_train_step(
             return loss, (ll1, out["overflow"])
 
         (loss, (ll1, ovf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # non-finite gradient guard (see train/loop.py train_step)
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, ll1, ovf
