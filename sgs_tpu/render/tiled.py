@@ -190,6 +190,23 @@ PACK_BARRIER = False
 # Measured on-device at both scales before changing the default.
 GRAD_SINGLE_TABLE = False
 
+# ACCURACY PROBE, not a perf path: round the big gather tables (ranked
+# attr payload, cull record, per-slot gradient records) through bf16 to
+# measure what bf16-narrowed tables WOULD cost in image/grad error
+# (VERDICT r5 task 3b: "if parity breaks, record the measured error and
+# stop"). Id lanes stay exact (a real bf16 layout would carry ids in a
+# separate i32 gather). scripts/exp_bf16_tables.py records the numbers;
+# PERF_NOTES holds the verdict. Never enable in production.
+PAYLOAD_BF16_SIM = False
+
+
+def _bf16_round(x, exact_lanes=()):
+    """Round an f32 table through bf16, keeping exact_lanes untouched."""
+    r = x.astype(jnp.bfloat16).astype(jnp.float32)
+    for ln in exact_lanes:
+        r = r.at[:, ln].set(x[:, ln])
+    return r
+
 
 def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
                  width, height, max_row_instances, rgb=None):
@@ -283,6 +300,8 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
         attr_n = jnp.stack(
             cols + [jnp.zeros((n,), f32)] * (lanes - len(cols)), axis=1
         )
+        if PAYLOAD_BF16_SIM:
+            attr_n = _bf16_round(attr_n, exact_lanes=(10,))
         pl = attr_n[gidx]  # (R, 16) — THE merged payload gather
         payload = (pl,)
         mx_r, my_r = pl[:, 0], pl[:, 1]
@@ -294,6 +313,9 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
             cols[8:] + [jnp.zeros((n,), f32)] * (8 - len(cols[8:])),
             axis=1,
         )
+        if PAYLOAD_BF16_SIM:
+            attr_a_n = _bf16_round(attr_a_n)
+            attr_b_n = _bf16_round(attr_b_n, exact_lanes=(2,))  # id
         attr_a = attr_a_n[gidx]  # (R, 8) — split merged payload gathers
         attr_b = attr_b_n[gidx]
         payload = (attr_a, attr_b)
@@ -319,6 +341,8 @@ def _expand_rows(mean2d, conic, opacity, depth, radius, valid,
             ],
             axis=1,
         )
+        if PAYLOAD_BF16_SIM:
+            cull_n = _bf16_round(cull_n, exact_lanes=(6, 7))
         cr = cull_n[gidx]  # (R, 8)
         txlo, txhi = _x_tile_interval(
             cr[:, 0], cr[:, 1], cr[:, 2], cr[:, 3], cr[:, 4], cr[:, 5],
@@ -917,6 +941,10 @@ def _backward_pallas_host(
         packed_t, crs, nch, bg, aux_rows, tiles_x,
         num_tiles, interpret=interpret,
     )
+    if PAYLOAD_BF16_SIM:
+        # probe the reduction-table half of the bf16 question: per-slot
+        # gradient records rounded before the gather/cumsum reduction
+        grads_t = grads_t.astype(jnp.bfloat16).astype(jnp.float32)
     # reduction gather buffers; compact-to-compact XLA transposes.
     # optimization_barrier pins the transposes to a real row-major
     # materialization: without it XLA may assign the {0,1}
