@@ -19,10 +19,13 @@ falls back to the synthetic scene so a number is ALWAYS recorded. The
 metric name is stable across rounds; the scene is reported in a separate
 "scene" field.
 
-Prints the headline JSON line on stdout, then (unless --headline_only or
-the scale run fails) a SECOND JSON line for the BASELINE configs[2]
-garden-scale workload — 5M Gaussians @1080p, panning-capture geometry
-with visibility compaction (scripts/bench_scale.py --capture) — so the
+Prints the headline JSON line on stdout, then a render-only
+(forward, no grad) line — the metric the reference's abstract actually
+states: real-time novel-view RENDERING >= 30 fps @1080p
+(/root/reference/README.md:14) — then (unless --headline_only or the
+scale run fails) a line for the BASELINE configs[2] garden-scale
+workload — 5M Gaussians @1080p, panning-capture geometry with
+visibility compaction (scripts/bench_scale.py --capture) — so the
 driver's BENCH record captures the target workload every round
 (VERDICT r4 weak #6):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "scene": ...}
@@ -180,13 +183,15 @@ def _measure(pool, cam):
     _log(f"# instances: {total} (capacity {max_instances}, "
          f"rows {rows}/{max_rows}, kernel rows {krows}/{max_krows})")
 
-    def loss_fn(params):
-        out = render(
+    def render_fn(params):
+        return render(
             cam, pool.with_params(params).render_inputs(3), bg,
             mode="tiled", max_instances=max_instances, backend="pallas",
             max_row_instances=max_rows, max_kernel_rows=max_krows,
-        )
-        return l1_loss(out["render"], gt)
+        )["render"]
+
+    def loss_fn(params):
+        return l1_loss(render_fn(params), gt)
 
     # ITERS full fwd+bwd frames in ONE dispatch (lax.scan): dispatching
     # each frame separately pays the axon tunnel's per-call RPC overhead
@@ -212,7 +217,34 @@ def _measure(pool, cam):
     losses = bench_scan(pool.params())
     jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / ITERS
-    return 1.0 / dt
+    fwd_bwd_fps = 1.0 / dt
+
+    # Forward-only novel-view rendering — the metric the reference's
+    # abstract actually states (>=30 fps @1080p, /root/reference/
+    # README.md:14 measures VIEWING, not training). Same production
+    # path, no grad. A tiny image-dependent perturbation threads a data
+    # dependency so XLA cannot hoist the loop-invariant render.
+    render_fps = None
+    try:
+        @jax.jit
+        def view_scan(params):
+            def body(prm, _):
+                img = render_fn(prm)
+                eps = 1e-12 * img[0, 0, 0]
+                prm2 = jax.tree.map(lambda a: a + eps, prm)
+                return prm2, img.sum()
+            _, sums = jax.lax.scan(body, params, None, length=ITERS)
+            return sums
+
+        _retry("view-scan compile",
+               lambda: jax.block_until_ready(view_scan(pool.params())))
+        t0 = time.perf_counter()
+        jax.block_until_ready(view_scan(pool.params()))
+        render_fps = ITERS / (time.perf_counter() - t0)
+    except Exception:  # noqa: BLE001 — the headline number stands alone
+        _log("# render-only measure failed (headline unaffected):\n"
+             + traceback.format_exc())
+    return fwd_bwd_fps, render_fps
 
 
 def main():
@@ -235,11 +267,11 @@ def main():
             ply_path = _flagship
             scene = "flagship_ply"
 
-    fps = None
+    fps = render_fps = None
     if ply_path is not None:
         try:
             pool, cam = _build_ply_scene(ply_path)
-            fps = _measure(pool, cam)
+            fps, render_fps = _measure(pool, cam)
         except Exception:  # noqa: BLE001 — fall back, never lose the round
             _log("# PLY scene failed after retries; falling back to "
                  "synthetic:\n" + traceback.format_exc())
@@ -247,7 +279,7 @@ def main():
     if fps is None:
         scene = "synthetic_100k"
         pool, cam = _build_synthetic_scene()
-        fps = _measure(pool, cam)
+        fps, render_fps = _measure(pool, cam)
 
     print(
         json.dumps(
@@ -261,6 +293,20 @@ def main():
         ),
         flush=True,
     )
+
+    if render_fps is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_render_only_frames_per_sec_per_chip",
+                    "value": round(render_fps, 4),
+                    "unit": "frames/s",
+                    "vs_baseline": round(render_fps / BASELINE_FPS, 4),
+                    "scene": scene,
+                }
+            ),
+            flush=True,
+        )
 
     if "--headline_only" in sys.argv[1:]:
         return
