@@ -20,9 +20,13 @@ def last_step(path: str):
             if len(hdr) < 8:
                 break
             (ln,) = struct.unpack("<Q", hdr)
+            if ln > 10_000_000:  # desynced walk (partial flush): stop
+                break
             f.read(4)
             data = f.read(ln)
             f.read(4)
+            if len(data) < ln:  # partial record at the write frontier:
+                break           # don't parse a half-flushed proto
             i = 0
             while i < len(data):
                 tag = data[i]
