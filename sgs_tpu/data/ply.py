@@ -160,7 +160,12 @@ def load_gaussian_ply(path: str, max_sh_degree: int) -> Dict[str, np.ndarray]:
     assert len(rest_names) == 3 * (k - 1), (
         f"{path}: {len(rest_names)} f_rest channels != 3*({k}-1)"
     )
-    f_rest = np.stack([v[p] for p in rest_names], axis=1).reshape(n, 3, k - 1)
+    if rest_names:
+        f_rest = np.stack(
+            [v[p] for p in rest_names], axis=1
+        ).reshape(n, 3, k - 1)
+    else:  # sh_degree 0 (e.g. LGM snapshots): no f_rest properties
+        f_rest = np.zeros((n, 3, 0), np.float32)
     scale_names = sorted(
         (p for p in v.dtype.names if p.startswith("scale_")),
         key=lambda s: int(s.split("_")[-1]),

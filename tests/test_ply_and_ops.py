@@ -32,6 +32,30 @@ def test_gaussian_ply_roundtrip(tmp_path):
         np.testing.assert_array_equal(loaded[key], data[key])
 
 
+def test_gaussian_ply_roundtrip_sh0(tmp_path):
+    """sh_degree-0 snapshots (what train_lgm saves) have NO f_rest
+    properties; loading one must not trip on the empty stack (round-5
+    regression: the LGM eval chain failed here)."""
+    rng = np.random.default_rng(1)
+    n = 9
+    data = {
+        "xyz": rng.normal(size=(n, 3)).astype(np.float32),
+        "features_dc": rng.normal(size=(n, 1, 3)).astype(np.float32),
+        "features_rest": np.zeros((n, 0, 3), np.float32),
+        "opacity": rng.normal(size=(n, 1)).astype(np.float32),
+        "scaling": rng.normal(size=(n, 3)).astype(np.float32),
+        "rotation": rng.normal(size=(n, 4)).astype(np.float32),
+    }
+    path = str(tmp_path / "pc0.ply")
+    ply_io.save_gaussian_ply(
+        path, data["xyz"], data["features_dc"], data["features_rest"],
+        data["opacity"], data["scaling"], data["rotation"],
+    )
+    loaded = ply_io.load_gaussian_ply(path, 0)
+    for key in data:
+        np.testing.assert_array_equal(loaded[key], data[key])
+
+
 def test_gaussian_ply_header_matches_reference_layout(tmp_path):
     """Header property list must equal the reference construct_list_of_
     attributes order (byte compatibility for viewers)."""
